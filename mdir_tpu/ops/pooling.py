@@ -1,0 +1,113 @@
+"""Global descriptor pooling and normalization in JAX (NHWC layout).
+
+Semantics pinned to the reference formulas
+(``cirtorch/layers/functional.py:11-131``): MAC = global max, SPoC = global
+mean, GeM = (mean(clamp(x, eps)^p))^(1/p) with learnable p, RMAC = multi-region
+MAC with L2-normalized region vectors summed, L2N with eps added to the norm.
+
+Every pool has a *masked* variant taking a (..., H, W) validity mask so images
+padded into static shape buckets pool identically to their native-shape
+versions (the TPU static-shape strategy; see ARCHITECTURE.md §2).
+"""
+import math
+
+import jax.numpy as jnp
+
+
+def l2n(x, eps=1e-6, axis=-1):
+    """x / (||x||_2 + eps) along ``axis`` (reference l2n, functional.py:130)."""
+    norm = jnp.linalg.norm(x, ord=2, axis=axis, keepdims=True)
+    return x / (norm + eps)
+
+
+def mac(x, mask=None):
+    """Global max pool: (..., H, W, C) -> (..., C)."""
+    if mask is not None:
+        neg = jnp.finfo(x.dtype).min
+        x = jnp.where(mask[..., None] > 0, x, neg)
+    return jnp.max(x, axis=(-3, -2))
+
+
+def spoc(x, mask=None):
+    """Global average pool: (..., H, W, C) -> (..., C)."""
+    if mask is None:
+        return jnp.mean(x, axis=(-3, -2))
+    m = mask[..., None].astype(x.dtype)
+    total = jnp.sum(x * m, axis=(-3, -2))
+    count = jnp.maximum(jnp.sum(m, axis=(-3, -2)), 1.0)
+    return total / count
+
+
+def gem(x, p=3.0, eps=1e-6, mask=None):
+    """Generalized-mean pool: (mean(clamp(x,eps)^p))^(1/p), (...,H,W,C)->(...,C)."""
+    powed = jnp.clip(x, a_min=eps) ** p
+    pooled = spoc(powed, mask=mask)
+    return pooled ** (1.0 / p)
+
+
+def _rmac_region_grid(h, w, levels=3):
+    """Static RMAC region list [(y, x, size), ...] (functional.py:26-75).
+
+    Shapes are static under jit, so this runs in Python at trace time.
+    """
+    ovr = 0.4
+    steps = [2, 3, 4, 5, 6, 7]
+    mindim = min(h, w)
+    diffs = [abs(((mindim ** 2 - mindim * (max(h, w) - mindim) / (s - 1))
+                  / mindim ** 2) - ovr) for s in steps]
+    idx = diffs.index(min(diffs))
+    wd, hd = 0, 0
+    if h < w:
+        wd = idx + 1
+    elif h > w:
+        hd = idx + 1
+
+    regions = []
+    for level in range(1, levels + 1):
+        region = int(math.floor(2 * mindim / (level + 1)))
+        if region == 0:
+            continue
+        region2 = math.floor(region / 2 - 1)
+        b = 0.0 if level + wd == 1 else (w - region) / (level + wd - 1)
+        cen_w = [math.floor(region2 + i * b) - region2 for i in range(level - 1 + wd + 1)]
+        b = 0.0 if level + hd == 1 else (h - region) / (level + hd - 1)
+        cen_h = [math.floor(region2 + i * b) - region2 for i in range(level - 1 + hd + 1)]
+        for i in cen_h:
+            for j in cen_w:
+                regions.append((int(i), int(j), region))
+    return regions
+
+
+def rmac(x, levels=3, eps=1e-6):
+    """Regional MAC: full-image MAC + region MACs, each L2-normalized, summed.
+
+    x: (N, H, W, C) -> (N, C). Static shapes only (the region grid is
+    computed at trace time), matching the reference exactly for unmasked
+    inputs.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    v = mac(x)
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+    for (i, j, size) in _rmac_region_grid(h, w, levels):
+        region = x[..., i:i + size, j:j + size, :]
+        vt = mac(region)
+        vt = vt / (jnp.linalg.norm(vt, axis=-1, keepdims=True) + eps)
+        v = v + vt
+    return v
+
+
+def roipool(x, pool_fn, levels=3):
+    """Region vectors for regional pooling (Rpool): (N,H,W,C) -> (N,R,C)."""
+    h, w = x.shape[-3], x.shape[-2]
+    vecs = [pool_fn(x)]
+    for (i, j, size) in _rmac_region_grid(h, w, levels):
+        vecs.append(pool_fn(x[..., i:i + size, j:j + size, :]))
+    return jnp.stack(vecs, axis=-2)
+
+
+POOLING = {
+    "mac": mac,
+    "spoc": spoc,
+    "gem": gem,
+    "rmac": rmac,
+}
