@@ -1,0 +1,128 @@
+"""Model registry: label -> flax model factory (reference MODEL_LABELS parity,
+``mdir/components/model/network/__init__.py:17-37``).
+
+A ``Model`` bundles the flax module, its variables (params/batch_stats) and a
+``meta`` dict (in/out channels etc.). ``initialize_model`` consumes a params
+dict with an ``architecture`` key, like the reference factory.
+"""
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from . import autoencoder, retrievalnet, torch_import, trunks, unet, weight_init
+from .retrievalnet import ImageRetrievalNet, init_retrieval_net
+
+
+class IdentityModule(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        return x
+
+
+@dataclasses.dataclass
+class Model:
+    """A flax module + variables + metadata, the unit the Network layer wraps."""
+    module: nn.Module
+    meta: Dict[str, Any]
+    variables: Optional[Dict[str, Any]] = None
+    model_params: Optional[Dict[str, Any]] = None  # the yaml section that built it
+
+    def init(self, rng, sample_hw=(64, 64)):
+        """Initialize variables with a dummy input (param shapes are
+        resolution-independent)."""
+        in_ch = self.meta.get("in_channels", 3)
+        dummy = jnp.zeros((1,) + tuple(sample_hw) + (in_ch,), jnp.float32)
+        self.variables = jax.tree.map(
+            lambda x: x, self.module.init({"params": rng}, dummy))
+        return self
+
+    def apply(self, x, train=False, rngs=None, **kwargs):
+        assert self.variables is not None, "Model not initialized"
+        mutable = ["batch_stats"] if train and "batch_stats" in self.variables else False
+        out = self.module.apply(self.variables, x, train=train, rngs=rngs,
+                                mutable=mutable, **kwargs) \
+            if _accepts_train(self.module) else self.module.apply(
+                self.variables, x, rngs=rngs, mutable=mutable, **kwargs)
+        if mutable:
+            y, updates = out
+            self.variables = {**self.variables, **updates}
+            return y
+        return out
+
+    @property
+    def params(self):
+        return self.variables.get("params", {}) if self.variables else {}
+
+    def replace_params(self, params):
+        self.variables = {**(self.variables or {}), "params": params}
+        return self
+
+
+def _accepts_train(module):
+    return not isinstance(module, ImageRetrievalNet)
+
+
+def _make_identity(**params):
+    assert not params, params.keys()
+    model = Model(IdentityModule(), meta={})
+    return model.init(jax.random.PRNGKey(0))
+
+
+def _make_unet(cls):
+    def factory(in_channels, out_channels, **params):
+        hidden = params.pop("hidden", None)
+        if hidden is not None:
+            params["hidden"] = tuple(hidden)
+        module = cls(in_channels=in_channels, out_channels=out_channels, **params)
+        meta = {"in_channels": in_channels, "out_channels": out_channels}
+        return Model(module, meta).init(jax.random.PRNGKey(0))
+    return factory
+
+
+def _make_cirnet(**params):
+    """cirnet factory (reference cirnet.py:10-23 + imageretrievalnet init)."""
+    for key in ["local_whitening", "pooling", "regional", "whitening", "pretrained"]:
+        if key not in params:
+            raise ValueError("Key '%s' not in params" % key)
+    architecture = params.pop("cir_architecture")
+    pretrained = params.pop("pretrained")
+    whitening = params.pop("whitening")
+    module, meta = init_retrieval_net(
+        architecture=architecture,
+        local_whitening=params.pop("local_whitening"),
+        pooling=params.pop("pooling"),
+        regional=params.pop("regional"),
+        whitening=whitening,
+    )
+    assert not params, params.keys()
+    model = Model(module, meta).init(jax.random.PRNGKey(0))
+    if pretrained:
+        torch_import.load_pretrained_features(model, architecture)
+    if isinstance(whitening, str):
+        torch_import.load_whitening_pkl(model, whitening)
+    return model
+
+
+MODEL_LABELS = {
+    "identity": _make_identity,
+    "orig_unet": _make_unet(unet.OrigUNet),
+    "p2p_unet": _make_unet(unet.P2pUNet),
+    "outconv_unet": _make_unet(unet.OutconvP2pUNet),
+    "outconv_dynint_unet": _make_unet(unet.OutconvP2pUNetDynamicInterpolate),
+    "shallow_p2p_unet": _make_unet(unet.ShallowP2pUNet),
+    "inconv_p2p_unet": _make_unet(unet.InconvP2pUNet),
+    "aligned_p2p_unet": _make_unet(unet.AlignedP2pUNet),
+    "pixelconv_regr": _make_unet(autoencoder.PixelConvRegr),
+    "pixelconv_res": _make_unet(autoencoder.PixelConvRes),
+    "autoencoder_regr": _make_unet(autoencoder.AutoencoderRegr),
+    "cirnet": _make_cirnet,
+}
+
+
+def initialize_model(params):
+    params = dict(params)
+    model = MODEL_LABELS[params.pop("architecture")](**params)
+    return model

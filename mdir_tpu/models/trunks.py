@@ -1,0 +1,246 @@
+"""CNN feature trunks (AlexNet / VGG / ResNet) in flax, NHWC, torch-importable.
+
+Architecture parity with the trunks the reference slices out of torchvision
+(``cirtorch/networks/imageretrievalnet.py:169-181``): the classifier head and
+the final maxpool (alexnet/vgg) or avgpool+fc (resnet) are dropped so trunks
+end in ReLU activations. Submodules are named after the torch state_dict keys
+so checkpoint import is a pure name/layout mapping (see torch_import.py).
+
+BatchNorm runs frozen (running stats) by default — the only mode the
+retrieval nets ever use, including training (reference ``network.py:399-408``).
+
+**Static-shape batching.** The reference runs batch_size=1 at native
+resolution; on TPU we pad images into shape buckets and batch them. To keep
+the result *exactly* equal to native-shape execution, a per-image valid
+extent ``valid_hw`` (N, 2) int array flows through the trunk: after every
+nonlinearity and pooling stage, cells outside the current valid extent are
+zeroed, and the extent is updated with the same floor arithmetic torch uses
+(``out = floor((in + 2p - k)/s) + 1``). Zero cells then play exactly the role
+of torch's implicit conv zero-padding at the true image boundary, and
+intermediate odd-row truncation by floor-mode pooling cannot leak into valid
+cells. Pooling over the final feature map uses the resulting feature-level
+mask. (ReLU precedes every maxpool in these trunks, so zeros are a safe
+identity for max windows.)
+"""
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import BatchNorm, Conv, max_pool, relu
+
+# (arch -> trunk output channels), reference imageretrievalnet.py:62-79
+OUTPUT_DIM = {
+    "alexnet": 256,
+    "vgg11": 512,
+    "vgg13": 512,
+    "vgg16": 512,
+    "vgg19": 512,
+    "resnet18": 512,
+    "resnet34": 512,
+    "resnet50": 2048,
+    "resnet101": 2048,
+    "resnet152": 2048,
+}
+
+# Total spatial stride of each trunk (bucket shapes should be multiples).
+TOTAL_STRIDE = {
+    "alexnet": 16, "vgg11": 16, "vgg13": 16, "vgg16": 16, "vgg19": 16,
+    "resnet18": 32, "resnet34": 32, "resnet50": 32, "resnet101": 32,
+    "resnet152": 32,
+}
+
+
+def conv_out_extent(valid, kernel, stride, padding):
+    """torch output-size arithmetic on a (possibly traced) extent array."""
+    return (valid + 2 * padding - kernel) // stride + 1
+
+
+def apply_valid_mask(x, valid_hw):
+    """Zero all cells at or beyond the per-image valid extent. x: (N,H,W,C)."""
+    if valid_hw is None:
+        return x
+    h, w = x.shape[-3], x.shape[-2]
+    rows = jnp.arange(h)[None, :, None]  # (1, H, 1)
+    cols = jnp.arange(w)[None, None, :]  # (1, 1, W)
+    mask = (rows < valid_hw[:, 0:1, None]) & (cols < valid_hw[:, 1:2, None])
+    return x * mask[..., None].astype(x.dtype)
+
+
+def feature_mask(shape_hw, valid_hw, dtype=jnp.float32):
+    """(N, H, W) float mask of valid feature cells for masked pooling."""
+    h, w = shape_hw
+    rows = jnp.arange(h)[None, :, None]
+    cols = jnp.arange(w)[None, None, :]
+    mask = (rows < valid_hw[:, 0:1, None]) & (cols < valid_hw[:, 1:2, None])
+    return mask.astype(dtype)
+
+
+# Sequential specs mirror torchvision features indices ([:-1] slicing applied:
+# the trailing maxpool is dropped so the trunk ends with ReLU).
+ALEXNET_SPEC = (
+    ("conv", 0, 64, 11, 4, 2), ("relu",), ("maxpool", 3, 2),
+    ("conv", 3, 192, 5, 1, 2), ("relu",), ("maxpool", 3, 2),
+    ("conv", 6, 384, 3, 1, 1), ("relu",),
+    ("conv", 8, 256, 3, 1, 1), ("relu",),
+    ("conv", 10, 256, 3, 1, 1), ("relu",),
+)
+
+
+def _vgg_spec(cfg):
+    spec = []
+    idx = 0
+    for v in cfg:
+        if v == "M":
+            spec.append(("maxpool", 2, 2))
+            idx += 1
+        else:
+            spec.append(("conv", idx, v, 3, 1, 1))
+            spec.append(("relu",))
+            idx += 2
+    if spec[-1][0] == "maxpool":  # drop the final maxpool ([:-1])
+        spec = spec[:-1]
+    return tuple(spec)
+
+
+VGG_CFGS = {
+    "vgg11": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "vgg13": [64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "vgg16": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M"],
+    "vgg19": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+}
+
+
+class SequentialFeatures(nn.Module):
+    """Conv/ReLU/MaxPool stack named by torchvision ``features.<idx>`` indices."""
+    spec: Tuple[Any, ...]
+
+    @nn.compact
+    def __call__(self, x, valid_hw=None):
+        pending_conv = None  # (kernel, stride, padding) of the conv awaiting relu
+        for item in self.spec:
+            kind = item[0]
+            if kind == "conv":
+                _, idx, out, k, s, p = item
+                x = Conv(out, k, s, p, name=str(idx))(x)
+                if valid_hw is not None:
+                    valid_hw = conv_out_extent(valid_hw, k, s, p)
+            elif kind == "relu":
+                x = relu(x)
+                x = apply_valid_mask(x, valid_hw)
+            elif kind == "maxpool":
+                x = max_pool(x, item[1], item[2])
+                if valid_hw is not None:
+                    valid_hw = conv_out_extent(valid_hw, item[1], item[2], 0)
+                    x = apply_valid_mask(x, valid_hw)
+            else:
+                raise ValueError(kind)
+        del pending_conv
+        return x, valid_hw
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    frozen_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, valid_hw=None):
+        identity = x
+        out = Conv(self.planes, 3, self.stride, 1, use_bias=False, name="conv1")(x)
+        if valid_hw is not None:
+            valid_hw = conv_out_extent(valid_hw, 3, self.stride, 1)
+        out = relu(BatchNorm(self.frozen_bn, name="bn1")(out))
+        out = apply_valid_mask(out, valid_hw)
+        out = Conv(self.planes, 3, 1, 1, use_bias=False, name="conv2")(out)
+        out = BatchNorm(self.frozen_bn, name="bn2")(out)
+        if self.downsample:
+            identity = Conv(self.planes, 1, self.stride, 0, use_bias=False,
+                            name="downsample_0")(x)
+            identity = BatchNorm(self.frozen_bn, name="downsample_1")(identity)
+        out = relu(out + identity)
+        return apply_valid_mask(out, valid_hw), valid_hw
+
+
+class Bottleneck(nn.Module):
+    """torchvision v1.5 bottleneck (stride on the 3x3 conv)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    frozen_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, valid_hw=None):
+        identity = x
+        out = Conv(self.planes, 1, 1, 0, use_bias=False, name="conv1")(x)
+        out = relu(BatchNorm(self.frozen_bn, name="bn1")(out))
+        out = apply_valid_mask(out, valid_hw)
+        out = Conv(self.planes, 3, self.stride, 1, use_bias=False, name="conv2")(out)
+        if valid_hw is not None:
+            valid_hw = conv_out_extent(valid_hw, 3, self.stride, 1)
+        out = relu(BatchNorm(self.frozen_bn, name="bn2")(out))
+        out = apply_valid_mask(out, valid_hw)
+        out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, name="conv3")(out)
+        out = BatchNorm(self.frozen_bn, name="bn3")(out)
+        if self.downsample:
+            identity = Conv(self.planes * 4, 1, self.stride, 0, use_bias=False,
+                            name="downsample_0")(x)
+            identity = BatchNorm(self.frozen_bn, name="downsample_1")(identity)
+        out = relu(out + identity)
+        return apply_valid_mask(out, valid_hw), valid_hw
+
+
+RESNET_LAYERS = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3)),
+    "resnet101": (Bottleneck, (3, 4, 23, 3)),
+    "resnet152": (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+class ResNetFeatures(nn.Module):
+    """torchvision resnet minus avgpool/fc (children()[:-2])."""
+    block: Any
+    layers: Sequence[int]
+    frozen_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, valid_hw=None):
+        x = Conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
+        if valid_hw is not None:
+            valid_hw = conv_out_extent(valid_hw, 7, 2, 3)
+        x = relu(BatchNorm(self.frozen_bn, name="bn1")(x))
+        x = apply_valid_mask(x, valid_hw)
+        x = max_pool(x, 3, 2, padding=1)
+        if valid_hw is not None:
+            valid_hw = conv_out_extent(valid_hw, 3, 2, 1)
+            x = apply_valid_mask(x, valid_hw)
+
+        expansion = 1 if self.block is BasicBlock else 4
+        in_planes = 64
+        for li, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
+            stride = 1 if li == 0 else 2
+            for bi in range(blocks):
+                s = stride if bi == 0 else 1
+                downsample = bi == 0 and (s != 1 or in_planes != planes * expansion)
+                x, valid_hw = self.block(
+                    planes, s, downsample, self.frozen_bn,
+                    name="layer%d_%d" % (li + 1, bi))(x, valid_hw)
+                in_planes = planes * expansion
+        return x, valid_hw
+
+
+def make_trunk(architecture, frozen_bn=True, name=None):
+    """Build the feature trunk module for an architecture label."""
+    if architecture == "alexnet":
+        return SequentialFeatures(ALEXNET_SPEC, name=name)
+    if architecture in VGG_CFGS:
+        return SequentialFeatures(_vgg_spec(VGG_CFGS[architecture]), name=name)
+    if architecture in RESNET_LAYERS:
+        block, layers = RESNET_LAYERS[architecture]
+        return ResNetFeatures(block, layers, frozen_bn, name=name)
+    raise ValueError("Unsupported or unknown architecture: %s" % architecture)

@@ -40,7 +40,7 @@ def spoc(x, mask=None):
 
 def gem(x, p=3.0, eps=1e-6, mask=None):
     """Generalized-mean pool: (mean(clamp(x,eps)^p))^(1/p), (...,H,W,C)->(...,C)."""
-    powed = jnp.clip(x, a_min=eps) ** p
+    powed = jnp.clip(x, min=eps) ** p
     pooled = spoc(powed, mask=mask)
     return pooled ** (1.0 / p)
 

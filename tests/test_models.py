@@ -1,0 +1,229 @@
+"""Model zoo parity: flax layers/trunks vs torch references, import roundtrip."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from mdir_tpu.models import Model, initialize_model, torch_import  # noqa: E402
+from mdir_tpu.models.retrievalnet import ImageRetrievalNet  # noqa: E402
+from mdir_tpu.models.unet import OrigUNet, P2pUNet  # noqa: E402
+
+
+def _nhwc(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def _nchw(a):
+    return torch.tensor(np.transpose(a, (0, 3, 1, 2)))
+
+
+def _state(m):
+    return {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+
+def test_alexnet_trunk_matches_torch(rng):
+    """Our AlexNet trunk vs the torchvision features[:-1] stack in torch."""
+    torch_feats = tnn.Sequential(
+        tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(),
+        tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(64, 192, 5, 1, 2), tnn.ReLU(),
+        tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(192, 384, 3, 1, 1), tnn.ReLU(),
+        tnn.Conv2d(384, 256, 3, 1, 1), tnn.ReLU(),
+        tnn.Conv2d(256, 256, 3, 1, 1), tnn.ReLU(),
+    ).eval()
+
+    x = rng.rand(1, 3, 79, 101).astype(np.float32)
+    ref = _nhwc(torch_feats(torch.tensor(x)))
+
+    net = ImageRetrievalNet(architecture="alexnet")
+    from mdir_tpu.models.trunks import make_trunk
+    trunk = make_trunk("alexnet")
+    variables = trunk.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 79, 101, 3)))
+    # torch Sequential indices 0,3,6,8,10 are the convs
+    variables = torch_import.import_state_dict(variables, _state(torch_feats))
+    ours, _ = trunk.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(ref, np.asarray(ours), rtol=1e-4, atol=1e-5)
+
+
+def _torch_bottleneck_resnet():
+    """Minimal 2-block bottleneck 'resnet' matching our layout (for parity)."""
+    class Bottleneck(tnn.Module):
+        def __init__(self, inp, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inp, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.relu = tnn.ReLU()
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                idt = self.downsample(x)
+            return self.relu(out + idt)
+
+    layer1 = tnn.Sequential(
+        Bottleneck(64, 64, 1, tnn.Sequential(
+            tnn.Conv2d(64, 256, 1, 1, bias=False), tnn.BatchNorm2d(256))),
+        Bottleneck(256, 64),
+    )
+    return tnn.Sequential(
+        tnn.Conv2d(3, 64, 7, 2, 3, bias=False),
+        tnn.BatchNorm2d(64),
+        tnn.ReLU(),
+        tnn.MaxPool2d(3, 2, 1),
+        layer1,
+    )
+
+
+def test_resnet_block_matches_torch(rng):
+    torch_net = _torch_bottleneck_resnet()
+    # randomize BN running stats to catch stat import bugs
+    for m in torch_net.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.data = torch.randn_like(m.running_mean) * 0.1
+            m.running_var.data = torch.rand_like(m.running_var) + 0.5
+    torch_net = torch_net.eval()
+
+    from mdir_tpu.models.trunks import Bottleneck as FlaxBottleneck
+    from mdir_tpu.models.trunks import ResNetFeatures
+
+    flax_net = ResNetFeatures(FlaxBottleneck, (2,))
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    variables = flax_net.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 64, 96, 3)))
+    variables = torch_import.import_state_dict(variables, _state(torch_net))
+    with torch.no_grad():
+        ref = _nhwc(torch_net(torch.tensor(x)))
+    ours, _ = flax_net.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(ref, np.asarray(ours), rtol=1e-4, atol=1e-4)
+
+
+def test_masked_trunk_equals_native_shape(rng):
+    """The static-shape bucket strategy: padded batch + valid_hw == native."""
+    from mdir_tpu.models.trunks import make_trunk
+
+    trunk = make_trunk("alexnet")
+    variables = trunk.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 3)))
+
+    img = rng.rand(1, 79, 101, 3).astype(np.float32)
+    native, _ = trunk.apply(variables, jnp.asarray(img))
+
+    padded = np.zeros((1, 128, 128, 3), np.float32)
+    padded[:, :79, :101] = img
+    feats, valid = trunk.apply(variables, jnp.asarray(padded),
+                               jnp.asarray([[79, 101]]))
+    fh, fw = native.shape[1], native.shape[2]
+    assert int(valid[0, 0]) == fh and int(valid[0, 1]) == fw
+    np.testing.assert_allclose(
+        np.asarray(native), np.asarray(feats[:, :fh, :fw]), rtol=1e-4, atol=1e-5)
+    # everything beyond the valid extent must be exactly zero
+    assert np.abs(np.asarray(feats[:, fh:])).max() == 0
+    assert np.abs(np.asarray(feats[:, :, fw:])).max() == 0
+
+
+def test_retrievalnet_descriptor_masked_equals_native(rng):
+    net = ImageRetrievalNet(architecture="alexnet", pooling="gem")
+    variables = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+
+    img = rng.rand(1, 79, 101, 3).astype(np.float32)
+    native = net.apply(variables, jnp.asarray(img))
+
+    padded = np.zeros((2, 128, 128, 3), np.float32)
+    padded[0, :79, :101] = img[0]
+    padded[1, :64, :64] = rng.rand(64, 64, 3)
+    batched = net.apply(variables, jnp.asarray(padded),
+                        valid_hw=jnp.asarray([[79, 101], [64, 64]]))
+    np.testing.assert_allclose(
+        np.asarray(native[0]), np.asarray(batched[0]), rtol=1e-4, atol=1e-6)
+    assert np.abs(np.asarray(batched).sum()) > 0
+
+
+def test_p2p_unet_matches_torch_geometry(rng):
+    """P2pUNet: same parameter inventory as the reference torch module and a
+    numerically identical forward after import."""
+    class TorchSkip(tnn.Module):
+        def __init__(self, nested, outer_ch, inter_ch, batchnorm=True, dropout=0.0):
+            super().__init__()
+            mods = [tnn.Conv2d(outer_ch, inter_ch, 4, 2, 1, bias=False)]
+            if nested:
+                if batchnorm:
+                    mods += [tnn.BatchNorm2d(inter_ch)]
+                mods += [tnn.LeakyReLU(0.2), nested]
+            else:
+                mods += [tnn.ReLU()]
+            nested_ch = inter_ch * (2 if nested else 1)
+            mods += [tnn.ConvTranspose2d(nested_ch, outer_ch, 4, 2, 1, bias=False)]
+            if batchnorm:
+                mods += [tnn.BatchNorm2d(outer_ch)]
+            if dropout:
+                mods += [tnn.Dropout(p=dropout)]
+            mods += [tnn.ReLU()]
+            self.nested = tnn.Sequential(*mods)
+
+        def forward(self, x):
+            return torch.cat([x, self.nested(x)], dim=1)
+
+    nested_levels = 4
+    blocks = [(64, 128), (128, 256), (256, 512), (512, 512)][:nested_levels]
+    inner = None
+    for cin, cout in reversed(blocks):
+        inner = TorchSkip(inner, cin, cout)
+    torch_net = tnn.Sequential(
+        tnn.Conv2d(3, 64, 4, 2, 1, bias=False),
+        tnn.LeakyReLU(0.2),
+        inner,
+        tnn.ConvTranspose2d(128, 3, 4, 2, 1, bias=True),
+        tnn.Tanh(),
+    ).eval()
+
+    flax_net = P2pUNet(3, 3, nested_levels=nested_levels)
+    variables = flax_net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    state = {"outerblock." + k: v for k, v in _state(torch_net).items()}
+    variables = torch_import.import_state_dict(variables, state)
+
+    x = rng.rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = _nhwc(torch_net(torch.tensor(x)))
+    ours = flax_net.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(ref, np.asarray(ours), rtol=1e-4, atol=1e-5)
+
+
+def test_model_registry():
+    model = initialize_model({"architecture": "p2p_unet", "in_channels": 3,
+                              "out_channels": 3, "nested_levels": 4})
+    assert model.meta == {"in_channels": 3, "out_channels": 3}
+    y = model.apply(jnp.zeros((1, 64, 64, 3)))
+    assert y.shape == (1, 64, 64, 3)
+
+    ident = initialize_model({"architecture": "identity"})
+    x = jnp.ones((2, 4, 4, 3))
+    np.testing.assert_array_equal(np.asarray(ident.apply(x)), np.asarray(x))
+
+
+def test_orig_unet_shapes():
+    model = initialize_model({"architecture": "orig_unet", "in_channels": 3,
+                              "out_channels": 3, "nested_levels": 2,
+                              "min_channels": 8})
+    y = model.apply(jnp.zeros((1, 32, 32, 3)))
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_gem_p_parameter_path():
+    net = ImageRetrievalNet(architecture="alexnet")
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert "p" in variables["params"]["pool"]
+    assert float(variables["params"]["pool"]["p"][0]) == 3.0
