@@ -56,6 +56,16 @@ class Model:
     def params(self):
         return self.variables.get("params", {}) if self.variables else {}
 
+    @property
+    def pool_p(self):
+        """GeM p value (cirtorch ``model.pool.p.item()`` equivalent)."""
+        return float(self.variables["params"]["pool"]["p"][0])
+
+    @property
+    def is_descriptor_model(self):
+        """True for retrieval nets (output (N, D) descriptors, not images)."""
+        return "pooling" in self.meta
+
     def replace_params(self, params):
         self.variables = {**(self.variables or {}), "params": params}
         return self

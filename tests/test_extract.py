@@ -1,0 +1,77 @@
+"""Fused batched extraction == per-image wrapper path (multiscale + whiten)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mdir_tpu.learning.network import CirNetwork, SingleNetwork
+from mdir_tpu.learning.wrappers import (CirMultiscaleAggregation,
+                                        initialize_wrappers)
+from mdir_tpu.models import Model, initialize_model
+from mdir_tpu.parallel.extract import extract_vectors_batched, batched_resize
+from mdir_tpu.ops.resize import torch_resize_grid
+
+
+@pytest.fixture(scope="module")
+def alexnet_model():
+    return initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": False,
+        "whitening": False, "pretrained": False})
+
+
+def test_torch_resize_grid_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    img = rng.rand(1, 3, 37, 53).astype(np.float32)
+    for scale in (1 / np.sqrt(2), 0.5):
+        ref = F.interpolate(torch.tensor(img), scale_factor=scale,
+                            mode="bilinear", align_corners=False)
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        oh, ow = ref.shape[1], ref.shape[2]
+        y0, y1, wy = torch_resize_grid(37, oh, scale)
+        x0, x1, wx = torch_resize_grid(53, ow, scale)
+        ours = batched_resize(
+            jnp.asarray(img.transpose(0, 2, 3, 1)),
+            y0[None], y1[None], wy[None].astype(np.float32),
+            x0[None], x1[None], wx[None].astype(np.float32))
+        np.testing.assert_allclose(ref, np.asarray(ours), rtol=1e-5, atol=1e-6)
+
+
+def test_batched_multiscale_equals_wrapper_path(rng, alexnet_model):
+    model = alexnet_model
+    network = CirNetwork(
+        model, CirNetwork.NetworkParams(
+            model={}, runtime={"wrappers": {
+                "train": None,
+                "eval": {"0_cirmultiscale": {"scales": True}},
+            }}),
+        frozen=True)
+
+    arrays = [rng.rand(80, 100, 3).astype(np.float32),
+              rng.rand(100, 70, 3).astype(np.float32),
+              rng.rand(80, 100, 3).astype(np.float32)]
+
+    # reference-path: per-image through wrappers
+    ref = np.stack([np.asarray(network(a)).reshape(-1) for a in arrays], axis=1)
+
+    # fused path
+    msp = float(model.pool_p)
+    ours = extract_vectors_batched(
+        model, arrays, scales=[1, 1 / np.sqrt(2), 0.5], msp=msp,
+        bucket_multiple=32, max_batch=2)
+
+    np.testing.assert_allclose(ref, ours, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_single_scale_equals_direct(rng, alexnet_model):
+    model = alexnet_model
+    arrays = [rng.rand(70, 90, 3).astype(np.float32)]
+    direct = model.apply(jnp.asarray(arrays[0])[None])
+    direct = np.asarray(direct).reshape(-1)
+    ours = extract_vectors_batched(model, arrays, scales=[1], msp=1.0)
+    # single scale with msp=1: aggregation == plain L2-normalized descriptor
+    np.testing.assert_allclose(direct / np.linalg.norm(direct), ours[:, 0],
+                               rtol=1e-5, atol=1e-6)
