@@ -12,7 +12,8 @@ import numpy as np
 
 def default_collate(items):
     """Stack numpy arrays; keep lists of variable-shaped items as lists."""
-    if isinstance(items[0], tuple):
+    if isinstance(items[0], (tuple, list)):
+        # dataset items that are (input, target, ...) groups: collate per slot
         return tuple(default_collate(list(x)) for x in zip(*items))
     if isinstance(items[0], np.ndarray):
         shapes = {x.shape for x in items}

@@ -43,6 +43,8 @@ def _normalize(obj):
         return {str(k): _normalize(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
         return [_normalize(v) for v in obj]
+    if isinstance(obj, Path):
+        return str(obj)
     if hasattr(obj, "__array__") and not isinstance(obj, (str, bytes)):
         return np.asarray(obj)
     return obj

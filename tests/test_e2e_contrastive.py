@@ -1,0 +1,141 @@
+"""End-to-end contrastive training with hard-negative re-mining.
+
+The flagship path: CirTuples over a synthetic retrieval-SfM-style db,
+per-epoch mining with the current network (batched extraction + on-device
+ranking + cluster-constrained selection), tuple batches through the
+contrastive loss on D x N columns, CirNetwork param groups (pool p at 10x lr,
+0 wd), and a gamma scheduler.
+"""
+import copy
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sfm_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sfmroot")
+    os.environ["MDIR_TPU_ROOT"] = str(root)
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    db_dir = root / "data" / "train" / "retrieval-SfM-tiny"
+    ims_root = db_dir / "ims"
+    ims_root.mkdir(parents=True)
+
+    n_images = 16
+    cids = []
+    for i in range(n_images):
+        # absolute-path cids skip the hashed layout (cid2filename)
+        name = str(ims_root / ("im%03d.jpg" % i))
+        arr = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(name)
+        cids.append(name)
+
+    clusters = [i // 2 for i in range(n_images)]  # 8 clusters of 2
+    qidxs = [0, 2, 4, 6]
+    pidxs = [1, 3, 5, 7]
+    db = {"train": {"cids": cids, "cluster": clusters,
+                    "qidxs": qidxs, "pidxs": pidxs},
+          "val": {"cids": cids, "cluster": clusters,
+                  "qidxs": qidxs, "pidxs": pidxs}}
+    with open(db_dir / "retrieval-SfM-tiny.pkl", "wb") as handle:
+        pickle.dump(db, handle)
+
+    yield root
+    os.environ.pop("MDIR_TPU_ROOT", None)
+
+
+def test_contrastive_training_with_mining(sfm_root, tmp_path):
+    from mdir_tpu.stages.train import train
+
+    mean_std = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+    params = {
+        "network": {
+            "type": "CirNetwork",
+            "path": None,
+            "model": {"architecture": "cirnet", "cir_architecture": "alexnet",
+                      "local_whitening": False, "pooling": "gem",
+                      "regional": False, "whitening": False,
+                      "pretrained": False},
+            "initialize": {"weights": "default", "seed": 0},
+            "runtime": {
+                "wrappers": {"train": "cirfaketuplebatch", "eval": ""},
+                "data": {"mean_std": mean_std,
+                         "transforms": "pil2np | totensor | normalize"},
+            },
+        },
+        "learning": {
+            "type": "TrainValLearning",
+            "checkpoints": {"directory": str(tmp_path / "exp"),
+                            "store_every": 0, "checkpoint_every": 1},
+            "training": {
+                "type": "EpochTraining",
+                "epochs": 2,
+                "deterministic": True,
+                "seed": 0,
+                "criterion": {"loss": "contrastive", "margin": 0.7,
+                              "eps": 1e-6},
+                "optimizer": {"algorithm": "adam", "lr": 1e-6,
+                              "weight_decay": 1e-6},
+                "scheduler": {"algorithm": "gamma", "gamma": "exp(-0.01)"},
+                "epoch_iteration": {
+                    "type": "SupervisedEpoch",
+                    "data": "train",
+                    "criterion": "default",
+                    "batch_average": False,
+                    "fakebatch": True,
+                },
+            },
+            "validation": False,
+        },
+        "output": {"learning": {"progress": {"print_each": 100}}},
+        "data": {
+            "train": {
+                "mean_std": mean_std,
+                "transforms": "pil2np | totensor | normalize",
+                "dataset": {"name": "CirTuples",
+                            "dataset": "retrieval-SfM-tiny",
+                            "split": "train",
+                            "image_size": 64,
+                            "neg_num": 2,
+                            "dataset_pkl": str(
+                                sfm_root / "data" / "train" /
+                                "retrieval-SfM-tiny" / "retrieval-SfM-tiny.pkl"),
+                            "image_dir": None,
+                            "query_size": 4,
+                            "pool_size": 16},
+                "loader": {"batch_size": 2, "num_workers": 0},
+            },
+        },
+    }
+
+    metadata, = train(copy.deepcopy(params), ())
+    losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
+    assert len(losses) == 2
+    assert np.isfinite(np.asarray(losses)).all()
+    assert all(l > 0 for l in losses)
+    # mining stats were logged
+    assert "train/learning/data_mining:average_negative_distance_avg.4" \
+        in metadata["metrics"]
+
+
+def test_gem_p_param_group_lr(sfm_root):
+    """CirNetwork assigns the pool p a 10x-lr, 0-wd optimizer group."""
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.optim.optimizers import initialize_optimizer
+
+    model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": False,
+        "whitening": False, "pretrained": False})
+    network = CirNetwork(model, CirNetwork.NetworkParams(
+        model={}, runtime={"wrappers": ""}))
+    opt = initialize_optimizer(network, {"algorithm": "sgd", "lr": 0.01,
+                                         "momentum": 0.9, "weight_decay": 1e-4})
+    lrs = opt.learning_rates
+    assert abs(lrs["pool"] - 0.1) < 1e-6
+    assert abs(lrs["default"] - 0.01) < 1e-6

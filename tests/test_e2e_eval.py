@@ -1,0 +1,132 @@
+"""End-to-end eval: synthetic dataset + checkpoint -> validate stage -> mAP.
+
+Exercises the full reference-parity path without downloads: scenario dict ->
+load_network (our checkpoint format) -> wrappers (whiten + multiscale) ->
+CirDatasetAp -> batched extraction -> device ranking -> revisited-protocol
+mAP -> EventBroker metadata, with the exact metric keys eval.py prints.
+"""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dataroot")
+    os.environ["MDIR_TPU_ROOT"] = str(root)
+
+    from PIL import Image
+
+    rng = np.random.RandomState(42)
+    jpg_dir = root / "data" / "test" / "roxford5k" / "jpg"
+    jpg_dir.mkdir(parents=True)
+
+    imlist = ["img%02d" % i for i in range(8)]
+    qimlist = ["img00", "img03"]
+    for name in imlist:
+        arr = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(jpg_dir / (name + ".jpg"))
+
+    gnd = [
+        {"easy": np.array([1, 2]), "hard": np.array([4]),
+         "junk": np.array([0]), "bbx": [2.0, 2.0, 70.0, 50.0]},
+        {"easy": np.array([5]), "hard": np.array([6, 7]),
+         "junk": np.array([3]), "bbx": None},
+    ]
+    with open(root / "data" / "test" / "roxford5k" / "gnd_roxford5k.pkl",
+              "wb") as handle:
+        pickle.dump({"imlist": imlist, "qimlist": qimlist, "gnd": gnd}, handle)
+
+    yield root
+    os.environ.pop("MDIR_TPU_ROOT", None)
+
+
+@pytest.fixture(scope="module")
+def checkpoint_and_whitening(data_root):
+    from mdir_tpu.learning.checkpoints import save_state
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.models import initialize_model
+
+    model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": False,
+        "whitening": False, "pretrained": False})
+    network = CirNetwork(
+        model,
+        CirNetwork.NetworkParams(
+            model={"architecture": "cirnet", "cir_architecture": "alexnet",
+                   "local_whitening": False, "pooling": "gem",
+                   "regional": False, "whitening": False, "pretrained": False},
+            runtime={"wrappers": "",
+                     "data": {"mean_std": [model.meta["mean"], model.meta["std"]],
+                              "transforms": "pil2np | totensor | normalize"}}))
+
+    net_path = data_root / "net_checkpoint.ckpt"
+    save_state(network.state_dict()["net"], net_path)
+
+    rng = np.random.RandomState(0)
+    dim = model.meta["out_channels"]
+    P = np.eye(dim, dtype=np.float64) + 0.01 * rng.randn(dim, dim)
+    m = 0.01 * rng.randn(dim, 1)
+    whit_path = data_root / "whitening.pkl"
+    with open(whit_path, "wb") as handle:
+        pickle.dump({"P": P, "m": m}, handle)
+
+    return str(net_path), str(whit_path)
+
+
+def _scenario(net_path, whit_path):
+    return {
+        "network": {
+            "path": net_path,
+            "runtime": {
+                "wrappers": {
+                    "train": None,
+                    "eval": {
+                        "0_cirwhiten": {"whitening": whit_path,
+                                        "dimensions": None},
+                        "1_cirmultiscale": {"scales": True},
+                    },
+                },
+            },
+        },
+        "validation": {
+            "type": "MultiCriterialValidation",
+            "decisive_criterion": None,
+            "roxford5k": {
+                "type": "SingleValidation",
+                "frequency": None,
+                "criterion": {"type": "cirdatasetap", "image_size": 128,
+                              "dataset": "roxford5k"},
+                "network_overlay": None,
+                "data": None,
+            },
+        },
+        "data": {},
+    }
+
+
+def test_validate_stage_end_to_end(data_root, checkpoint_and_whitening):
+    from mdir_tpu.stages.validate import validate
+
+    net_path, whit_path = checkpoint_and_whitening
+    metadata, = validate(_scenario(net_path, whit_path), ())
+
+    assert "eval" in metadata
+    keys = metadata["eval"].keys()
+    assert "roxford5k/validation/score:ap_medium_avg.4" in keys, keys
+    for proto in ("easy", "medium", "hard"):
+        value = metadata["eval"]["roxford5k/validation/score:ap_%s_avg.4" % proto]
+        assert 0.0 <= value <= 1.0
+
+
+def test_validate_stage_deterministic(data_root, checkpoint_and_whitening):
+    from mdir_tpu.stages.validate import validate
+
+    net_path, whit_path = checkpoint_and_whitening
+    m1, = validate(_scenario(net_path, whit_path), ())
+    m2, = validate(_scenario(net_path, whit_path), ())
+    for key in m1["eval"]:
+        assert m1["eval"][key] == m2["eval"][key]

@@ -1,0 +1,148 @@
+"""End-to-end training: the train stage over a synthetic tuple dataset.
+
+Covers TrainValLearning / EpochTraining / SupervisedEpoch on optax,
+checkpoint saving with role symlinks, resume-from-checkpoint determinism, and
+loss decrease on a learnable synthetic task (identity color mapping).
+"""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def train_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainroot")
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    img_dir = root / "ims"
+    img_dir.mkdir()
+    rows = []
+    for i in range(8):
+        pair = []
+        for j in range(2):
+            name = "img%02d_%d.jpg" % (i, j)
+            arr = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / name)
+            pair.append(name)
+        rows.append(pair)
+
+    import json
+
+    with open(root / "tuples.tsv", "w") as handle:
+        handle.write("pair\n")
+        for pair in rows:
+            handle.write(json.dumps(pair) + "\n")
+    return root
+
+
+def _train_params(root, epochs=2):
+    return {
+        "network": {
+            "type": "SingleNetwork",
+            "path": None,
+            "model": {"architecture": "pixelconv_regr", "in_channels": 3,
+                      "out_channels": 3, "hidden": [8]},
+            "initialize": {"weights": "he_normal", "seed": 0},
+            "runtime": {
+                "wrappers": "",
+                "data": {"mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]],
+                         "transforms": "pil2np | totensor | normalize"},
+            },
+        },
+        "learning": {
+            "type": "TrainValLearning",
+            "checkpoints": {"directory": str(root / "exp"),
+                            "store_every": 0, "checkpoint_every": 1},
+            "training": {
+                "type": "EpochTraining",
+                "epochs": epochs,
+                "deterministic": True,
+                "seed": 0,
+                "criterion": {"loss": "l1"},
+                "optimizer": {"algorithm": "adam", "lr": 0.01,
+                              "weight_decay": 0},
+                "scheduler": {"algorithm": "const"},
+                "epoch_iteration": {
+                    "type": "SupervisedEpoch",
+                    "data": "train",
+                    "criterion": "default",
+                    "batch_average": True,
+                    "fakebatch": False,
+                },
+            },
+            "validation": {
+                "type": "SingleValidation",
+                "data": "train",
+                "criterion": "default",
+                "network_overlay": None,
+                "frequency": 1,
+            },
+        },
+        "output": {"learning": {"progress": {"print_each": 100}}},
+        "data": {
+            "train": {
+                "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]],
+                "transforms": "pil2np | totensor | normalize",
+                "dataset": {"name": "PregeneratedImageTuple",
+                            "dataset": str(root / "tuples.tsv"),
+                            "data_key": "pair",
+                            "image_dir": str(root / "ims"),
+                            "idx": "0_1"},
+                "loader": {"batch_size": 4, "num_workers": 0},
+            },
+        },
+    }
+
+
+def test_train_stage_end_to_end(train_root):
+    from mdir_tpu.stages.train import train
+
+    params = _train_params(train_root, epochs=2)
+    metadata, = train(copy.deepcopy(params), ())
+
+    assert "metrics" in metadata
+    losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
+    assert len(losses) == 2
+    assert np.isfinite(losses).all()
+
+    # checkpoint layout
+    epochs_dir = train_root / "exp" / "epochs"
+    assert (epochs_dir / "net_last.ckpt").exists()
+    assert (epochs_dir / "net_best.ckpt").exists()
+    assert (epochs_dir / "learning_epoch_02.ckpt").exists()
+
+
+def test_train_resume(train_root, tmp_path):
+    from mdir_tpu.stages.train import train
+
+    params = _train_params(tmp_path, epochs=1)
+    params["learning"]["checkpoints"]["directory"] = str(tmp_path / "exp2")
+    params["data"]["train"]["dataset"]["dataset"] = str(train_root / "tuples.tsv")
+    params["data"]["train"]["dataset"]["image_dir"] = str(train_root / "ims")
+    metadata1, = train(copy.deepcopy(params), ())
+    assert len(metadata1["metrics"]["train/learning/loss:total_avg.4"]) == 1
+
+    # extend to 3 epochs, resume from epoch 1 checkpoint
+    params["learning"]["training"]["epochs"] = 3
+    metadata2, = train(copy.deepcopy(params), ())
+    losses = metadata2["metrics"]["train/learning/loss:total_avg.4"]
+    assert len(losses) == 3
+    # epoch 0 loss was recorded in the first run and restored on resume
+    assert losses[0] == metadata1["metrics"]["train/learning/loss:total_avg.4"][0]
+
+
+def test_train_loss_decreases(train_root, tmp_path):
+    from mdir_tpu.stages.train import train
+
+    params = _train_params(tmp_path, epochs=6)
+    params["learning"]["checkpoints"]["directory"] = str(tmp_path / "exp3")
+    params["data"]["train"]["dataset"]["dataset"] = str(train_root / "tuples.tsv")
+    params["data"]["train"]["dataset"]["image_dir"] = str(train_root / "ims")
+    # identity task: target == input
+    params["data"]["train"]["dataset"]["idx"] = "0_0"
+    metadata, = train(copy.deepcopy(params), ())
+    losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
+    assert losses[-1] < losses[0] * 0.9, losses
