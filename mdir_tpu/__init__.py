@@ -5,6 +5,27 @@ A from-scratch JAX/XLA/Pallas rebuild with the capabilities of jenicek/mdir
 """
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Persistent XLA compilation cache (huge win for remote-device compiles;
+    harmless locally). Respects an explicit JAX_COMPILATION_CACHE_DIR."""
+    if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+        cache_dir = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "mdir_tpu", "jax_cache")
+        _os.makedirs(cache_dir, exist_ok=True)
+        _os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+    try:
+        import jax
+
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_compilation_cache()
+
 from . import config, tools
 
 __all__ = ["config", "tools", "stages"]

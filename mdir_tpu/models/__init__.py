@@ -30,22 +30,40 @@ class Model:
     variables: Optional[Dict[str, Any]] = None
     model_params: Optional[Dict[str, Any]] = None  # the yaml section that built it
 
+    def __post_init__(self):
+        self._apply_cache = {}
+
     def init(self, rng, sample_hw=(64, 64)):
         """Initialize variables with a dummy input (param shapes are
-        resolution-independent)."""
+        resolution-independent). Jitted: un-jitted flax init dispatches every
+        op separately, which is pathological over remote-device transports."""
         in_ch = self.meta.get("in_channels", 3)
         dummy = jnp.zeros((1,) + tuple(sample_hw) + (in_ch,), jnp.float32)
-        self.variables = jax.tree.map(
-            lambda x: x, self.module.init({"params": rng}, dummy))
+        self.variables = jax.jit(self.module.init)({"params": rng}, dummy)
         return self
+
+    def _jitted(self, train, mutable):
+        key = (train, mutable)
+        if key not in self._apply_cache:
+            module = self.module
+            accepts_train = _accepts_train(module)
+
+            def fn(variables, x, rngs=None, **kwargs):
+                if accepts_train:
+                    return module.apply(variables, x, train=train, rngs=rngs,
+                                        mutable=["batch_stats"] if mutable else False,
+                                        **kwargs)
+                return module.apply(variables, x, rngs=rngs,
+                                    mutable=["batch_stats"] if mutable else False,
+                                    **kwargs)
+
+            self._apply_cache[key] = jax.jit(fn)
+        return self._apply_cache[key]
 
     def apply(self, x, train=False, rngs=None, **kwargs):
         assert self.variables is not None, "Model not initialized"
-        mutable = ["batch_stats"] if train and "batch_stats" in self.variables else False
-        out = self.module.apply(self.variables, x, train=train, rngs=rngs,
-                                mutable=mutable, **kwargs) \
-            if _accepts_train(self.module) else self.module.apply(
-                self.variables, x, rngs=rngs, mutable=mutable, **kwargs)
+        mutable = bool(train and "batch_stats" in self.variables)
+        out = self._jitted(train, mutable)(self.variables, x, rngs=rngs, **kwargs)
         if mutable:
             y, updates = out
             self.variables = {**self.variables, **updates}

@@ -47,17 +47,34 @@ def batched_resize(batch, y0, y1, wy, x0, x1, wx):
     return jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx)
 
 
+@jax.jit
+def batched_resize_masked(batch, y0, y1, wy, x0, x1, wx, valid_hw):
+    """Resize + zero beyond the per-image valid extent (one fused program —
+    the gather pads with row/col-0 copies, and the trunk's masking contract
+    requires zeros there; doing it outside jit would dispatch per-op)."""
+    from ..models.trunks import apply_valid_mask
+
+    return apply_valid_mask(
+        jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx), valid_hw)
+
+
 class BucketedApply:
-    """Caches one jitted masked-apply per module; XLA caches per shape."""
+    """One jitted masked-apply per module (cached — a fresh jax.jit wrapper
+    per call would recompile every bucket on every extraction)."""
+
+    _cache = {}
 
     def __init__(self, model):
         self.model = model
-        module = model.module
+        key = id(model.module)
+        if key not in self._cache:
+            module = model.module
 
-        def fn(variables, x, valid_hw):
-            return module.apply(variables, x, valid_hw=valid_hw)
+            def fn(variables, x, valid_hw):
+                return module.apply(variables, x, valid_hw=valid_hw)
 
-        self.fn = jax.jit(fn)
+            self._cache[key] = jax.jit(fn)
+        self.fn = self._cache[key]
 
     def __call__(self, batch, valid_hw):
         return self.fn(self.model.variables, batch, valid_hw)
@@ -90,6 +107,48 @@ def _load_images(images, image_size, transform, bbxs=None, workers=6):
     return list(loader)
 
 
+def _fused_extract_fn(module, scales, has_whiten):
+    """One jitted program per (module, scales, whiten?) doing: per-scale
+    exact resize -> masked trunk+pool -> p-power aggregation -> L2 ->
+    optional whitening. A single launch per image chunk keeps remote-device
+    dispatch latency off the critical path."""
+
+    def fn(variables, batch, valid_hw, grids, msp, P, m):
+        from ..models.trunks import apply_valid_mask
+
+        acc = None
+        for s_idx, scale in enumerate(scales):
+            if scale == 1:
+                x, v = batch, valid_hw
+            else:
+                y0, y1, wy, x0, x1, wx, v = grids[s_idx]
+                x = apply_valid_mask(
+                    jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx), v)
+            vecs = module.apply(variables, x, valid_hw=v)  # (B, D)
+            powed = vecs ** msp
+            acc = powed if acc is None else acc + powed
+        v = (acc / len(scales)) ** (1.0 / msp)
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        if has_whiten:
+            X = jnp.dot(P, v.T - m.reshape(-1, 1),
+                        precision=jax.lax.Precision.HIGHEST)
+            X = X / (jnp.linalg.norm(X, ord=2, axis=0, keepdims=True) + 1e-6)
+            return X.T
+        return v
+
+    return jax.jit(fn)
+
+
+_FUSED_CACHE = {}
+
+
+def _get_fused(module, scales, has_whiten):
+    key = (id(module), tuple(scales), has_whiten)
+    if key not in _FUSED_CACHE:
+        _FUSED_CACHE[key] = _fused_extract_fn(module, tuple(scales), has_whiten)
+    return _FUSED_CACHE[key]
+
+
 def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
                             bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
                             max_side=None):
@@ -98,86 +157,90 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
     Equivalent to the reference per-image loop: per scale s, each image is
     bilinearly resized (exact torch grid), descriptors are GeM/...-pooled with
     valid-extent masking, aggregated as (mean over scales of v^msp)^(1/msp),
-    L2-normalized, then optionally whitened (P(x-m), L2).
+    L2-normalized, then optionally whitened (P(x-m), L2). All scales fuse
+    into one compiled program per shape bucket; chunks dispatch
+    asynchronously with a single host sync at the end.
     """
     n = len(arrays)
-    dim = model.meta["out_channels"]
-    apply_fn = BucketedApply(model)
-    acc = np.zeros((n, dim), np.float64)
+    scales = list(scales)
 
-    for scale in scales:
-        # per-image scaled sizes, torch floor semantics
-        sizes = []
-        for arr in arrays:
-            h, w = arr.shape[:2]
-            if scale == 1:
-                sizes.append((h, w))
-            else:
-                sizes.append((int(math.floor(h * scale)),
-                              int(math.floor(w * scale))))
+    has_whiten = whiten is not None
+    if has_whiten:
+        P = jnp.asarray(whiten.P[:whiten.dimensions, :])
+        m = jnp.asarray(whiten.m)
+    else:
+        P = m = jnp.zeros((0,), jnp.float32)
 
-        # group images by (input bucket, output size bucket)
-        groups = collections.defaultdict(list)
-        for i, arr in enumerate(arrays):
-            ih, iw = arr.shape[:2]
-            oh, ow = sizes[i]
-            in_bucket = (_round_up(ih, bucket_multiple), _round_up(iw, bucket_multiple))
-            out_bucket = (_round_up(oh, bucket_multiple), _round_up(ow, bucket_multiple))
-            groups[(in_bucket, out_bucket)].append(i)
+    fused = _get_fused(model.module, scales, has_whiten)
 
-        for (in_bucket, out_bucket), idxs in groups.items():
-            for start in range(0, len(idxs), max_batch):
-                chunk = idxs[start:start + max_batch]
-                bsz = len(chunk)
-                channels = arrays[chunk[0]].shape[-1]
+    # group by input bucket; out buckets per scale derive from the in bucket
+    groups = collections.defaultdict(list)
+    for i, arr in enumerate(arrays):
+        ih, iw = arr.shape[:2]
+        in_bucket = (_round_up(ih, bucket_multiple), _round_up(iw, bucket_multiple))
+        groups[in_bucket].append(i)
 
-                batch = np.zeros((bsz,) + in_bucket + (channels,), np.float32)
-                for bi, i in enumerate(chunk):
-                    arr = arrays[i]
-                    batch[bi, :arr.shape[0], :arr.shape[1]] = arr
+    results = []  # (chunk indices, device array) pairs, synced at the end
+    for in_bucket, idxs in groups.items():
+        out_buckets = {}
+        for scale in scales:
+            if scale != 1:
+                out_buckets[scale] = (
+                    _round_up(max(int(math.floor(in_bucket[0] * scale)), 1),
+                              bucket_multiple),
+                    _round_up(max(int(math.floor(in_bucket[1] * scale)), 1),
+                              bucket_multiple))
 
+        for start in range(0, len(idxs), max_batch):
+            chunk = idxs[start:start + max_batch]
+            bsz = len(chunk)
+            channels = arrays[chunk[0]].shape[-1]
+
+            batch = np.zeros((bsz,) + in_bucket + (channels,), np.float32)
+            valid = np.zeros((bsz, 2), np.int32)
+            for bi, i in enumerate(chunk):
+                arr = arrays[i]
+                batch[bi, :arr.shape[0], :arr.shape[1]] = arr
+                valid[bi] = arr.shape[:2]
+
+            grids = []
+            for scale in scales:
                 if scale == 1:
-                    scaled = jnp.asarray(batch)
-                    valid = np.array([arrays[i].shape[:2] for i in chunk],
-                                     np.int32)
-                else:
-                    oh_b, ow_b = out_bucket
-                    y0 = np.zeros((bsz, oh_b), np.int64)
-                    y1 = np.zeros((bsz, oh_b), np.int64)
-                    wy = np.zeros((bsz, oh_b), np.float32)
-                    x0 = np.zeros((bsz, ow_b), np.int64)
-                    x1 = np.zeros((bsz, ow_b), np.int64)
-                    wx = np.zeros((bsz, ow_b), np.float32)
-                    for bi, i in enumerate(chunk):
-                        ih, iw = arrays[i].shape[:2]
-                        oh, ow = sizes[i]
-                        gy0, gy1, gwy = torch_resize_grid(ih, oh, scale)
-                        gx0, gx1, gwx = torch_resize_grid(iw, ow, scale)
-                        y0[bi, :oh], y1[bi, :oh], wy[bi, :oh] = gy0, gy1, gwy
-                        x0[bi, :ow], x1[bi, :ow], wx[bi, :ow] = gx0, gx1, gwx
-                    scaled = batched_resize(jnp.asarray(batch), y0, y1, wy,
-                                            x0, x1, wx)
-                    valid = np.array(
-                        [sizes[i] for i in chunk], np.int32)
-                    # the gather pads with row/col-0 copies beyond the valid
-                    # extent; the trunk's masking contract requires zeros there
-                    from ..models.trunks import apply_valid_mask
-
-                    scaled = apply_valid_mask(scaled, jnp.asarray(valid))
-
-                vecs = apply_fn(scaled, jnp.asarray(valid))  # (B, D)
-                vecs = np.asarray(vecs, np.float64)
+                    grids.append(None)
+                    continue
+                oh_b, ow_b = out_buckets[scale]
+                y0 = np.zeros((bsz, oh_b), np.int32)
+                y1 = np.zeros((bsz, oh_b), np.int32)
+                wy = np.zeros((bsz, oh_b), np.float32)
+                x0 = np.zeros((bsz, ow_b), np.int32)
+                x1 = np.zeros((bsz, ow_b), np.int32)
+                wx = np.zeros((bsz, ow_b), np.float32)
+                out_valid = np.zeros((bsz, 2), np.int32)
                 for bi, i in enumerate(chunk):
-                    acc[i] += vecs[bi] ** msp
+                    ih, iw = arrays[i].shape[:2]
+                    oh = int(math.floor(ih * scale))
+                    ow = int(math.floor(iw * scale))
+                    gy0, gy1, gwy = torch_resize_grid(ih, oh, scale)
+                    gx0, gx1, gwx = torch_resize_grid(iw, ow, scale)
+                    y0[bi, :oh], y1[bi, :oh], wy[bi, :oh] = gy0, gy1, gwy
+                    x0[bi, :ow], x1[bi, :ow], wx[bi, :ow] = gx0, gx1, gwx
+                    out_valid[bi] = (oh, ow)
+                grids.append((jnp.asarray(y0), jnp.asarray(y1), jnp.asarray(wy),
+                              jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(wx),
+                              jnp.asarray(out_valid)))
 
-    acc = (acc / len(scales)) ** (1.0 / msp)
-    acc = acc / np.linalg.norm(acc, axis=1, keepdims=True)
-    vecs = acc.T  # (D, N)
+            vecs = fused(model.variables, jnp.asarray(batch),
+                         jnp.asarray(valid), tuple(grids),
+                         jnp.float32(msp), P, m)
+            results.append((chunk, vecs))  # async; no host sync here
 
-    if whiten is not None:
-        vecs = np.asarray(whiten.postprocess(jnp.asarray(vecs, jnp.float32),
-                                             None, None))
-    return vecs
+    dim = results[0][1].shape[1]
+    out = np.zeros((n, dim), np.float32)
+    for chunk, vecs in results:
+        host = np.asarray(vecs)  # the only sync points
+        for bi, i in enumerate(chunk):
+            out[i] = host[bi]
+    return out.T  # (D, N)
 
 
 def extract_vectors_network(network, images, image_size, transform, bbxs=None,
