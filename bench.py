@@ -41,20 +41,23 @@ def main():
     rng = np.random.RandomState(0)
     shapes = [(int(image_size * 0.75), image_size),
               (image_size, int(image_size * 0.75))]
-    arrays = [rng.rand(*shapes[i % 2], 3).astype(np.float32)
+    arrays = [(rng.rand(*shapes[i % 2], 3) * 255).astype(np.uint8)
               for i in range(n_images)]
     scales = [1, 1.0 / np.sqrt(2), 1.0 / 2]
     msp = float(model.pool_p)
+    mean_std = (model.meta["mean"], model.meta["std"])
+    compute_dtype = os.environ.get("MDIR_TPU_COMPUTE_DTYPE") or None
 
-    # warmup: compile all bucket programs on a small subset
-    warm = [arrays[0], arrays[1]]
-    extract_vectors_batched(model, warm, scales=scales, msp=msp,
-                            max_batch=max_batch)
+    def run(imgs):
+        return extract_vectors_batched(
+            model, imgs, scales=scales, msp=msp, max_batch=max_batch,
+            normalize_mean_std=mean_std, compute_dtype=compute_dtype)
+
+    # warmup: compile every (bucket, batch) program the timed run will hit
+    run(arrays[:2 * max_batch])
 
     start = time.time()
-    vecs = extract_vectors_batched(model, arrays, scales=scales, msp=msp,
-                                   max_batch=max_batch)
-    jax.block_until_ready
+    vecs = run(arrays)
     elapsed = time.time() - start
     assert vecs.shape[1] == n_images
     assert np.isfinite(vecs).all()

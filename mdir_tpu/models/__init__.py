@@ -90,7 +90,9 @@ class Model:
 
 
 def _accepts_train(module):
-    return not isinstance(module, ImageRetrievalNet)
+    from .branched import BranchedRetrievalNet
+
+    return not isinstance(module, (ImageRetrievalNet, BranchedRetrievalNet))
 
 
 def _make_identity(**params):
@@ -148,6 +150,15 @@ MODEL_LABELS = {
     "autoencoder_regr": _make_unet(autoencoder.AutoencoderRegr),
     "cirnet": _make_cirnet,
 }
+
+
+def _make_cirnet_branched(**params):
+    from . import branched
+
+    return branched.init_cirnet_branched(**params)
+
+
+MODEL_LABELS["cirnet_branched"] = _make_cirnet_branched
 
 
 def initialize_model(params):

@@ -107,14 +107,36 @@ def _load_images(images, image_size, transform, bbxs=None, workers=6):
     return list(loader)
 
 
-def _fused_extract_fn(module, scales, has_whiten):
-    """One jitted program per (module, scales, whiten?) doing: per-scale
-    exact resize -> masked trunk+pool -> p-power aggregation -> L2 ->
-    optional whitening. A single launch per image chunk keeps remote-device
-    dispatch latency off the critical path."""
+def _fused_extract_fn(module, scales, has_whiten, device_normalize,
+                      compute_dtype):
+    """One jitted program per (module, scales, whiten?, normalize?, dtype)
+    doing: [uint8 -> /255 -> (x-mean)/std ->] per-scale exact resize ->
+    masked trunk+pool -> p-power aggregation -> L2 -> optional whitening.
+    A single launch per image chunk keeps remote-device dispatch latency off
+    the critical path; ``device_normalize`` lets the host ship raw uint8
+    pixels (4x less HBM ingress) with normalization fused on device;
+    ``compute_dtype='bfloat16'`` runs the trunk on the MXU's native dtype
+    (opt-in — descriptors come back in f32 either way).
 
-    def fn(variables, batch, valid_hw, grids, msp, P, m):
+    Normalize-then-resize equals the reference's resize-then-normalize
+    exactly: bilinear resampling commutes with a per-channel affine map.
+    """
+
+    def fn(variables, batch, valid_hw, grids, msp, P, m, mean, std):
         from ..models.trunks import apply_valid_mask
+
+        if device_normalize:
+            batch = batch.astype(jnp.float32) / 255.0
+            batch = (batch - mean) / std
+            # padded cells must be zero in normalized space
+            batch = apply_valid_mask(batch, valid_hw)
+
+        if compute_dtype is not None:
+            batch = batch.astype(compute_dtype)
+            variables = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                variables)
 
         acc = None
         for s_idx, scale in enumerate(scales):
@@ -125,6 +147,7 @@ def _fused_extract_fn(module, scales, has_whiten):
                 x = apply_valid_mask(
                     jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx), v)
             vecs = module.apply(variables, x, valid_hw=v)  # (B, D)
+            vecs = vecs.astype(jnp.float32)
             powed = vecs ** msp
             acc = powed if acc is None else acc + powed
         v = (acc / len(scales)) ** (1.0 / msp)
@@ -142,16 +165,20 @@ def _fused_extract_fn(module, scales, has_whiten):
 _FUSED_CACHE = {}
 
 
-def _get_fused(module, scales, has_whiten):
-    key = (id(module), tuple(scales), has_whiten)
+def _get_fused(module, scales, has_whiten, device_normalize=False,
+               compute_dtype=None):
+    key = (id(module), tuple(scales), has_whiten, device_normalize,
+           str(compute_dtype))
     if key not in _FUSED_CACHE:
-        _FUSED_CACHE[key] = _fused_extract_fn(module, tuple(scales), has_whiten)
+        _FUSED_CACHE[key] = _fused_extract_fn(
+            module, tuple(scales), has_whiten, device_normalize, compute_dtype)
     return _FUSED_CACHE[key]
 
 
 def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
                             bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
-                            max_side=None):
+                            max_side=None, normalize_mean_std=None,
+                            compute_dtype=None):
     """Multi-scale descriptors for a list of HWC arrays. Returns (D, N).
 
     Equivalent to the reference per-image loop: per scale s, each image is
@@ -171,7 +198,17 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
     else:
         P = m = jnp.zeros((0,), jnp.float32)
 
-    fused = _get_fused(model.module, scales, has_whiten)
+    device_normalize = normalize_mean_std is not None
+    if device_normalize:
+        mean = jnp.asarray(normalize_mean_std[0], jnp.float32)
+        std = jnp.asarray(normalize_mean_std[1], jnp.float32)
+        host_dtype = np.uint8
+    else:
+        mean = std = jnp.zeros((0,), jnp.float32)
+        host_dtype = np.float32
+
+    fused = _get_fused(model.module, scales, has_whiten, device_normalize,
+                       compute_dtype)
 
     # group by input bucket; out buckets per scale derive from the in bucket
     groups = collections.defaultdict(list)
@@ -193,11 +230,13 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
 
         for start in range(0, len(idxs), max_batch):
             chunk = idxs[start:start + max_batch]
-            bsz = len(chunk)
+            # pad the tail chunk to the full batch size: one compiled program
+            # per bucket instead of one per distinct remainder size
+            bsz = max_batch if len(idxs) > max_batch else len(chunk)
             channels = arrays[chunk[0]].shape[-1]
 
-            batch = np.zeros((bsz,) + in_bucket + (channels,), np.float32)
-            valid = np.zeros((bsz, 2), np.int32)
+            batch = np.zeros((bsz,) + in_bucket + (channels,), host_dtype)
+            valid = np.ones((bsz, 2), np.int32)
             for bi, i in enumerate(chunk):
                 arr = arrays[i]
                 batch[bi, :arr.shape[0], :arr.shape[1]] = arr
@@ -231,7 +270,7 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
 
             vecs = fused(model.variables, jnp.asarray(batch),
                          jnp.asarray(valid), tuple(grids),
-                         jnp.float32(msp), P, m)
+                         jnp.float32(msp), P, m, mean, std)
             results.append((chunk, vecs))  # async; no host sync here
 
     dim = results[0][1].shape[1]
@@ -243,16 +282,59 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
     return out.T  # (D, N)
 
 
+def _plain_normalize_chain(transform):
+    """Detect a pil2np|totensor|normalize-only chain: the host output is then
+    uint8-quantized pixels normalized per channel, so pixels can ship as raw
+    uint8 with the normalize fused on device (bit-equal, 4x less transfer)."""
+    ts = getattr(transform, "transforms", None)
+    if ts is None:
+        return None
+    from ..data import transforms as T
+
+    allowed = (T.Pil2Numpy, T.ToTensor)
+    if not ts or not isinstance(ts[-1], T.Normalize):
+        return None
+    if not all(isinstance(t, allowed) for t in ts[:-1]):
+        return None
+    norm = ts[-1]
+    if not norm.params["strict_shape"]:
+        return None
+    return norm.params["mean"], norm.params["std"]
+
+
+def _load_images_uint8(images, image_size, bbxs=None, workers=6):
+    """Decode + crop + thumbnail, keep raw uint8 HWC pixels."""
+    import numpy as _np
+
+    def to_uint8(img):
+        arr = _np.asarray(img.convert("RGB"), dtype=_np.uint8)
+        return arr
+
+    class _U8(ImagesFromList):
+        def __getitem__(self, index):
+            img = ImagesFromList.__getitem__(self, index)
+            return to_uint8(img)
+
+    dataset = _U8(root="", images=images, imsize=image_size, bbxs=bbxs,
+                  transform=None)
+    loader = DataLoader(dataset, batch_size=1, num_workers=workers,
+                        collate_fn=lambda items: items[0])
+    return list(loader)
+
+
 def extract_vectors_network(network, images, image_size, transform, bbxs=None,
                             batch_size=MAX_BATCH):
     """Extract (D, N) descriptors for image paths through ``network``.
 
     Uses the fused bucketed TPU path when the network's eval wrappers are the
     standard whiten/multiscale pattern; otherwise falls back to the exact
-    per-image wrapper loop.
+    per-image wrapper loop. Plain pil2np|totensor|normalize chains ship raw
+    uint8 pixels and normalize on device. MDIR_TPU_COMPUTE_DTYPE=bfloat16
+    opts extraction into bf16 trunk compute.
     """
+    import os
+
     network.eval()
-    arrays = _load_images(images, image_size, transform, bbxs)
 
     analyzed = _analyze_wrappers(network) if hasattr(network, "wrappers") else None
     model = network.model
@@ -265,8 +347,21 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
         if len(scales) > 1 and model.meta["pooling"] == "gem" \
                 and not model.meta["regional"] and not model.meta["whitening"]:
             msp = float(model.pool_p)
+        compute_dtype = os.environ.get("MDIR_TPU_COMPUTE_DTYPE") or None
+
+        mean_std = _plain_normalize_chain(transform)
+        if mean_std is not None and len(mean_std[0]) == 3:
+            arrays = _load_images_uint8(images, image_size, bbxs)
+            return extract_vectors_batched(
+                model, arrays, scales=scales, msp=msp, whiten=whiten,
+                max_batch=batch_size, normalize_mean_std=mean_std,
+                compute_dtype=compute_dtype)
+
+        arrays = _load_images(images, image_size, transform, bbxs)
         return extract_vectors_batched(model, arrays, scales=scales, msp=msp,
-                                       whiten=whiten, max_batch=batch_size)
+                                       whiten=whiten, max_batch=batch_size,
+                                       compute_dtype=compute_dtype)
+    arrays = _load_images(images, image_size, transform, bbxs)
 
     # exact fallback: per-image wrapper path
     dim = network.meta["out_channels"]

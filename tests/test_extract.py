@@ -75,3 +75,40 @@ def test_batched_single_scale_equals_direct(rng, alexnet_model):
     # single scale with msp=1: aggregation == plain L2-normalized descriptor
     np.testing.assert_allclose(direct / np.linalg.norm(direct), ours[:, 0],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_uint8_device_normalize_path(rng, alexnet_model, tmp_path):
+    """uint8 transfer + device normalize == host f32 normalize path."""
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.parallel.extract import extract_vectors_network
+
+    model = alexnet_model
+    mean_std = [model.meta["mean"], model.meta["std"]]
+    paths = []
+    for i in range(3):
+        arr = (rng.rand(70 + 10 * i, 90, 3) * 255).astype(np.uint8)
+        p = tmp_path / ("img%d.jpg" % i)
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+
+    transform = initialize_transforms("pil2np | totensor | normalize", mean_std)
+    network = CirNetwork(
+        model, CirNetwork.NetworkParams(
+            model={}, runtime={"wrappers": {
+                "train": None,
+                "eval": {"0_cirmultiscale": {"scales": True}}}}),
+        frozen=True)
+
+    # fused path (auto-detects the plain chain -> uint8 + device normalize)
+    fast = extract_vectors_network(network, paths, 96, transform)
+
+    # reference path: per-image wrappers on host-normalized f32
+    from mdir_tpu.parallel.extract import _load_images
+
+    arrays = _load_images(paths, 96, transform)
+    ref = np.stack([np.asarray(network(a)).reshape(-1) for a in arrays], axis=1)
+
+    np.testing.assert_allclose(ref, fast, rtol=1e-4, atol=1e-5)
