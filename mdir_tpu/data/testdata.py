@@ -80,45 +80,53 @@ def download_test(data_dir, datasets=DATASETS):
     os.makedirs(datasets_dir, exist_ok=True)
 
     for dataset in datasets:
-        dst_dir = os.path.join(datasets_dir, dataset, "jpg")
-        if not os.path.isdir(dst_dir):
-            if dataset in _IMAGE_SOURCES:
-                src_dir, dl_files = _IMAGE_SOURCES[dataset]
-                print(">> Dataset %s directory does not exist. Creating: %s"
-                      % (dataset, dst_dir))
-                os.makedirs(dst_dir, exist_ok=True)
-                for dl_file in dl_files:
-                    src = "%s/%s" % (src_dir, dl_file)
-                    dst = os.path.join(dst_dir, dl_file)
-                    print(">> Downloading dataset %s archive %s..." % (dataset, dl_file))
-                    urlretrieve(src, dst)
-                    print(">> Extracting dataset %s archive %s..." % (dataset, dl_file))
-                    _extract_flat(dst, dst_dir)
-                    os.remove(dst)
-            elif dataset in ("roxford5k", "rparis6k"):
-                old_dir = os.path.join(datasets_dir, dataset[1:], "jpg")
-                os.makedirs(os.path.join(datasets_dir, dataset), exist_ok=True)
-                if os.path.lexists(dst_dir) and not os.path.exists(dst_dir):
-                    os.remove(dst_dir)
-                if not os.path.exists(dst_dir):
-                    os.symlink(old_dir, dst_dir)
-                    print(">> Created symbolic link from %s jpg to %s jpg"
-                          % (dataset[1:], dataset))
+        try:
+            _download_one(datasets_dir, dataset)
+        except Exception as exc:  # offline environments: report and continue
+            sys.stderr.write(">> Could not prepare dataset %s (%s)\n"
+                             % (dataset, exc))
 
-        if dataset == "247tokyo1k":
-            gnd_src = "http://cmp.felk.cvut.cz/daynightretrieval/download/data"
-        else:
-            gnd_src = "http://cmp.felk.cvut.cz/cnnimageretrieval/data/test/" + dataset
-        gnd_dst = os.path.join(datasets_dir, dataset, "gnd_%s.pkl" % dataset)
-        os.makedirs(os.path.dirname(gnd_dst), exist_ok=True)
-        if not os.path.exists(gnd_dst):
-            print(">> Downloading dataset %s ground truth file..." % dataset)
-            try:
-                urlretrieve("%s/gnd_%s.pkl" % (gnd_src, dataset), gnd_dst)
-            except Exception as exc:  # offline environments
-                sys.stderr.write(
-                    ">> Could not download gnd for %s (%s); place it at %s\n"
-                    % (dataset, exc, gnd_dst))
+
+def _download_one(datasets_dir, dataset):
+    dst_dir = os.path.join(datasets_dir, dataset, "jpg")
+    if not os.path.isdir(dst_dir):
+        if dataset in _IMAGE_SOURCES:
+            src_dir, dl_files = _IMAGE_SOURCES[dataset]
+            print(">> Dataset %s directory does not exist. Creating: %s"
+                  % (dataset, dst_dir))
+            os.makedirs(dst_dir, exist_ok=True)
+            for dl_file in dl_files:
+                src = "%s/%s" % (src_dir, dl_file)
+                dst = os.path.join(dst_dir, dl_file)
+                print(">> Downloading dataset %s archive %s..." % (dataset, dl_file))
+                urlretrieve(src, dst)
+                print(">> Extracting dataset %s archive %s..." % (dataset, dl_file))
+                _extract_flat(dst, dst_dir)
+                os.remove(dst)
+        elif dataset in ("roxford5k", "rparis6k"):
+            old_dir = os.path.join(datasets_dir, dataset[1:], "jpg")
+            os.makedirs(os.path.join(datasets_dir, dataset), exist_ok=True)
+            if os.path.lexists(dst_dir) and not os.path.exists(dst_dir):
+                os.remove(dst_dir)
+            if not os.path.exists(dst_dir):
+                os.symlink(old_dir, dst_dir)
+                print(">> Created symbolic link from %s jpg to %s jpg"
+                      % (dataset[1:], dataset))
+
+    if dataset == "247tokyo1k":
+        gnd_src = "http://cmp.felk.cvut.cz/daynightretrieval/download/data"
+    else:
+        gnd_src = "http://cmp.felk.cvut.cz/cnnimageretrieval/data/test/" + dataset
+    gnd_dst = os.path.join(datasets_dir, dataset, "gnd_%s.pkl" % dataset)
+    os.makedirs(os.path.dirname(gnd_dst), exist_ok=True)
+    if not os.path.exists(gnd_dst):
+        print(">> Downloading dataset %s ground truth file..." % dataset)
+        try:
+            urlretrieve("%s/gnd_%s.pkl" % (gnd_src, dataset), gnd_dst)
+        except Exception as exc:  # offline environments
+            sys.stderr.write(
+                ">> Could not download gnd for %s (%s); place it at %s\n"
+                % (dataset, exc, gnd_dst))
 
 
 def download_train(data_dir):

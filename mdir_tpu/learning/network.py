@@ -80,7 +80,39 @@ class Network:
                  "data": _flatten_params(self.model.params)}]
 
     def const_data(self):
-        return []
+        acc = []
+        graph = self.generate_network_graph()
+        if graph is not None:
+            acc.append({"key": "network_graph", "dtype": "blob",
+                        "data": {"net": {"dtype": "image:rgb", "data": graph}}})
+        return acc
+
+    def generate_network_graph(self):
+        """Module summary rendered as an image blob (the reference renders a
+        torchviz autograd graph; the flax equivalent is a tabulate table)."""
+        try:
+            import flax.linen as nn
+            import jax
+            import jax.numpy as jnp
+            from PIL import Image, ImageDraw
+
+            in_ch = self.model.meta.get("in_channels", 3) or 3
+            table = nn.tabulate(
+                self.model.module, jax.random.PRNGKey(0),
+                console_kwargs={"width": 120, "force_terminal": False})(
+                    jnp.zeros((1, 64, 64, in_ch)))
+            lines = table.split("\n")[:200]
+            width = min(max(len(l) for l in lines) * 7 + 20, 1600)
+            height = len(lines) * 12 + 20
+            img = Image.new("RGB", (width, height), "white")
+            draw = ImageDraw.Draw(img)
+            for i, line in enumerate(lines):
+                draw.text((10, 10 + i * 12), line, fill="black")
+            import numpy as _np
+
+            return _np.asarray(img)
+        except Exception:
+            return None
 
 
 def _flatten_params(tree, prefix=""):

@@ -178,7 +178,7 @@ def _get_fused(module, scales, has_whiten, device_normalize=False,
 def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
                             bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
                             max_side=None, normalize_mean_std=None,
-                            compute_dtype=None):
+                            compute_dtype=None, mesh=None):
     """Multi-scale descriptors for a list of HWC arrays. Returns (D, N).
 
     Equivalent to the reference per-image loop: per scale s, each image is
@@ -210,6 +210,21 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
     fused = _get_fused(model.module, scales, has_whiten, device_normalize,
                        compute_dtype)
 
+    # multi-chip: shard each chunk's batch dim across the mesh, replicate the
+    # params; XLA lowers the per-image programs SPMD over ICI
+    if mesh is not None:
+        from .mesh import batch_sharding, replicated
+
+        shard = batch_sharding(mesh)
+        repl = replicated(mesh)
+        variables = jax.device_put(model.variables, repl)
+        n_dev = mesh.devices.size
+        max_batch = _round_up(max_batch, n_dev)
+    else:
+        shard = repl = None
+        variables = model.variables
+        n_dev = 1
+
     # group by input bucket; out buckets per scale derive from the in bucket
     groups = collections.defaultdict(list)
     for i, arr in enumerate(arrays):
@@ -233,6 +248,7 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
             # pad the tail chunk to the full batch size: one compiled program
             # per bucket instead of one per distinct remainder size
             bsz = max_batch if len(idxs) > max_batch else len(chunk)
+            bsz = _round_up(bsz, n_dev)
             channels = arrays[chunk[0]].shape[-1]
 
             batch = np.zeros((bsz,) + in_bucket + (channels,), host_dtype)
@@ -268,8 +284,18 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
                               jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(wx),
                               jnp.asarray(out_valid)))
 
-            vecs = fused(model.variables, jnp.asarray(batch),
-                         jnp.asarray(valid), tuple(grids),
+            if mesh is not None:
+                dev_batch = jax.device_put(batch, shard)
+                dev_valid = jax.device_put(valid, shard)
+                dev_grids = tuple(
+                    None if g is None else tuple(jax.device_put(np.asarray(a), shard)
+                                                 for a in g)
+                    for g in grids)
+            else:
+                dev_batch = jnp.asarray(batch)
+                dev_valid = jnp.asarray(valid)
+                dev_grids = tuple(grids)
+            vecs = fused(variables, dev_batch, dev_valid, dev_grids,
                          jnp.float32(msp), P, m, mean, std)
             results.append((chunk, vecs))  # async; no host sync here
 

@@ -112,3 +112,18 @@ def test_uint8_device_normalize_path(rng, alexnet_model, tmp_path):
     ref = np.stack([np.asarray(network(a)).reshape(-1) for a in arrays], axis=1)
 
     np.testing.assert_allclose(ref, fast, rtol=1e-4, atol=1e-5)
+
+
+def test_mesh_sharded_extraction(rng, alexnet_model):
+    """8-device CPU mesh DP extraction == single-device extraction."""
+    from mdir_tpu.parallel.extract import extract_vectors_batched
+    from mdir_tpu.parallel.mesh import make_mesh
+
+    model = alexnet_model
+    arrays = [rng.rand(64, 80, 3).astype(np.float32) for _ in range(16)]
+    single = extract_vectors_batched(model, arrays, scales=[1, 0.5], msp=3.0,
+                                     max_batch=8)
+    mesh = make_mesh(8)
+    sharded = extract_vectors_batched(model, arrays, scales=[1, 0.5], msp=3.0,
+                                      max_batch=8, mesh=mesh)
+    np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-6)
