@@ -4,14 +4,20 @@
 Measures images/sec/chip for the reference's eval workload — ResNet101-GeM,
 3 scales [1, 1/sqrt2, 1/2], image size 1024 — through the fused bucketed TPU
 path (shape-bucketed batches, exact masked pooling, on-device multi-scale
-aggregation). Prints ONE JSON line.
+resize + aggregation, raw-uint8 ingress with fused normalization). Prints
+ONE JSON line.
 
-``vs_baseline`` is relative to the reference implementation's measured regime:
-torch bs=1 multi-scale extraction on a single V100 runs ~15 images/s for
-ResNet101@1024 (the reference publishes no throughput numbers — SURVEY.md §6;
-15 img/s is the nominal single-GPU figure for this exact pipeline).
+``value`` is the end-to-end rate including host->device ingress (on the CI
+harness the TPU sits behind a ~20 MB/s tunnel, which caps this);
+``device_resident`` is the same fused program with inputs resident in HBM —
+the chip-side rate that local-PCIe deployments see.
+
+``vs_baseline`` is relative to the reference implementation's regime: torch
+bs=1 multi-scale extraction on a single V100 runs ~15 images/s for
+ResNet101@1024 (the reference publishes no throughput numbers — SURVEY.md §6).
 """
 import json
+import math
 import os
 import sys
 import time
@@ -21,15 +27,63 @@ import numpy as np
 REFERENCE_IMGS_PER_SEC = 15.0
 
 
-def main():
+def _measure_resident(model, mean_std, max_batch, shape):
+    """Chip-side rate: fused multiscale program with inputs already in HBM."""
     import jax
+    import jax.numpy as jnp
 
+    from mdir_tpu.ops.resize import torch_resize_grid
+    from mdir_tpu.parallel.extract import _get_fused, _round_up
+
+    rng = np.random.RandomState(1)
+    h, w = shape
+    batch = (rng.rand(max_batch, h, w, 3) * 255).astype(np.uint8)
+    valid = np.tile(np.array([[h, w]], np.int32), (max_batch, 1))
+    scales = (1, 1.0 / math.sqrt(2), 0.5)
+
+    def grids_for(scale):
+        oh_b, ow_b = _round_up(int(h * scale), 64), _round_up(int(w * scale), 64)
+        oh, ow = int(h * scale), int(w * scale)
+        gy0, gy1, gwy = torch_resize_grid(h, oh, scale)
+        gx0, gx1, gwx = torch_resize_grid(w, ow, scale)
+
+        def pad(a, n):
+            out = np.zeros((max_batch, n), a.dtype)
+            out[:, :len(a)] = a
+            return jnp.asarray(out)
+
+        return (pad(gy0.astype(np.int32), oh_b), pad(gy1.astype(np.int32), oh_b),
+                pad(gwy.astype(np.float32), oh_b),
+                pad(gx0.astype(np.int32), ow_b), pad(gx1.astype(np.int32), ow_b),
+                pad(gwx.astype(np.float32), ow_b),
+                jnp.asarray(np.tile(np.array([[oh, ow]], np.int32),
+                                    (max_batch, 1))))
+
+    fused = _get_fused(model.module, scales, False, True, None)
+    grids = tuple(None if s == 1 else grids_for(s) for s in scales)
+    dev = jax.device_put(batch)
+    vdev = jnp.asarray(valid)
+    mean = jnp.asarray(mean_std[0], jnp.float32)
+    std = jnp.asarray(mean_std[1], jnp.float32)
+    P = m = jnp.zeros((0,), jnp.float32)
+
+    args = (model.variables, dev, vdev, grids, jnp.float32(3.0), P, m, mean, std)
+    np.asarray(fused(*args))  # compile + warm
+    reps = 4
+    start = time.time()
+    outs = [fused(*args) for _ in range(reps)]
+    _ = [np.asarray(o) for o in outs]
+    elapsed = time.time() - start
+    return reps * max_batch / elapsed
+
+
+def main():
     from mdir_tpu.models import initialize_model
     from mdir_tpu.parallel.extract import extract_vectors_batched
 
     arch = os.environ.get("BENCH_ARCH", "resnet101")
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024"))
-    n_images = int(os.environ.get("BENCH_IMAGES", "64"))
+    n_images = int(os.environ.get("BENCH_IMAGES", "32"))
     max_batch = int(os.environ.get("BENCH_MAX_BATCH", "8"))
 
     model = initialize_model({
@@ -61,13 +115,17 @@ def main():
     elapsed = time.time() - start
     assert vecs.shape[1] == n_images
     assert np.isfinite(vecs).all()
-
     imgs_per_sec = n_images / elapsed
+
+    resident = _measure_resident(model, mean_std, max_batch, shapes[0])
+
     print(json.dumps({
         "metric": "multiscale_resnet101_gem_extraction",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / REFERENCE_IMGS_PER_SEC, 2),
+        "device_resident_imgs_per_sec": round(resident, 1),
+        "device_resident_vs_baseline": round(resident / REFERENCE_IMGS_PER_SEC, 2),
     }))
     return 0
 

@@ -1,0 +1,190 @@
+"""SequentialNetwork (U-Net -> embedder) composition, infer stage, and
+cirtorch-format conversion end-to-end."""
+import copy
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def composed_checkpoint(tmp_path_factory):
+    """Build a translator+embedder SequentialNetwork checkpoint on disk."""
+    root = tmp_path_factory.mktemp("composition")
+
+    from mdir_tpu.learning.checkpoints import Checkpoints, save_state
+    from mdir_tpu.learning.network import (CirNetwork, SequentialNetwork,
+                                           SingleNetwork)
+    from mdir_tpu.models import initialize_model
+
+    translator_model = initialize_model({
+        "architecture": "pixelconv_regr", "in_channels": 3,
+        "out_channels": 3, "hidden": [8]})
+    translator = SingleNetwork(
+        translator_model,
+        SingleNetwork.NetworkParams(
+            model={"architecture": "pixelconv_regr", "in_channels": 3,
+                   "out_channels": 3, "hidden": [8]},
+            runtime={"wrappers": "",
+                     "data": {"mean_std": [[0.5] * 3, [0.5] * 3],
+                              "transforms": "pil2np | totensor | normalize"}}))
+
+    embedder_model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": False,
+        "whitening": False, "pretrained": False})
+    embedder = CirNetwork(
+        embedder_model,
+        CirNetwork.NetworkParams(
+            model={"architecture": "cirnet", "cir_architecture": "alexnet",
+                   "local_whitening": False, "pooling": "gem",
+                   "regional": False, "whitening": False, "pretrained": False},
+            runtime={"wrappers": {"train": None,
+                                  "eval": {"0_cirmultiscale": {"scales": False}}}}))
+
+    net = SequentialNetwork({"translate": translator, "embed": embedder},
+                            ["translate", "embed"])
+
+    state = net.state_dict()
+    ckpt_dir = root / "epochs"
+    ckpt_dir.mkdir()
+    names = state["net"].get("network_hierarchy", {})
+    for key, sub in state.items():
+        pass
+    # persist via the Checkpoints layout: one file per network + names
+    state["net"]["_network_names"] = [k for k in state if k != "net"]
+    for key, sub in state.items():
+        save_state(sub, ckpt_dir / (key + "_best.ckpt"))
+    return root, ckpt_dir
+
+
+def test_sequential_network_forward_and_reload(composed_checkpoint, rng):
+    from mdir_tpu.learning import load_network
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network({"path": str(ckpt_dir), "runtime": None}).eval()
+
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    out = network(img)
+    assert np.asarray(out).shape[0] == 256  # alexnet descriptor (D x 1 conv)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # composition metadata: channels flow translator -> embedder
+    assert network.meta["in_channels"] == 3
+    assert network.meta["out_channels"] == 256
+
+
+def test_sequential_overlay_and_wrappers(composed_checkpoint, rng):
+    from mdir_tpu.learning import load_network
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network(
+        {"path": str(ckpt_dir),
+         "runtime": {"wrappers": {"train": None,
+                                  "eval": {"0_cirmultiscale": {"scales": True}}}}}
+    ).eval()
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    out = np.asarray(network(img))
+    assert out.shape == (256,)  # multiscale aggregation returns a vector
+    np.testing.assert_allclose(np.linalg.norm(out), 1.0, rtol=1e-4)
+
+
+def test_infer_stage_with_rgb_output(tmp_path, rng):
+    """infer stage: translate images with a U-Net and save RGB outputs."""
+    from PIL import Image
+
+    from mdir_tpu.learning.checkpoints import save_state
+    from mdir_tpu.learning.network import SingleNetwork
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.stages.infer import infer
+
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    names = []
+    for i in range(3):
+        name = "img%d.jpg" % i
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            img_dir / name)
+        names.append(name)
+
+    model = initialize_model({"architecture": "pixelconv_regr",
+                              "in_channels": 3, "out_channels": 3,
+                              "hidden": [8]})
+    network = SingleNetwork(
+        model, SingleNetwork.NetworkParams(
+            model={"architecture": "pixelconv_regr", "in_channels": 3,
+                   "out_channels": 3, "hidden": [8]},
+            runtime={"wrappers": "",
+                     "data": {"mean_std": [[0.5] * 3, [0.5] * 3],
+                              "transforms": "pil2np | totensor | normalize"}}))
+    ckpt = tmp_path / "net.ckpt"
+    save_state(network.state_dict()["net"], ckpt)
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    params = {
+        "network": {"path": str(ckpt), "runtime": None},
+        "output": {"inference": {"name": "rgb", "image_dir": str(out_dir),
+                                 "async": True},
+                   "debug": False},
+        "data": {"test": {
+            "mean_std": [[0.5] * 3, [0.5] * 3],
+            "transforms": "pil2np | totensor | normalize",
+            "dataset": {"name": "CirImageList", "image_dir": str(img_dir),
+                        "image_size": 32},
+            "loader": {"num_workers": 0},
+        }},
+    }
+    metadata, fnames = infer(copy.deepcopy(params), (names,))
+    assert sorted(fnames) == sorted(names)
+    for name in names:
+        assert (out_dir / name).exists()
+
+    # resumable: append mode skips everything already written
+    params["output"]["inference"]["append"] = True
+    metadata2, fnames2 = infer(copy.deepcopy(params), (names,))
+    assert metadata2 == {"status": "skipped"}
+
+
+def test_cirtorch_format_convert(tmp_path):
+    """Official cirtorch .pth -> our checkpoint -> loads and runs."""
+    torch = pytest.importorskip("torch")
+
+    from mdir_tpu.learning import load_network
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.stages.cirtorch_format import convert_contained_net
+
+    # synthesize an "official" checkpoint: torch state dict of an alexnet-gem
+    import torch.nn as tnn
+
+    torch_feats = tnn.Sequential(
+        tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(), tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(64, 192, 5, 1, 2), tnn.ReLU(), tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(192, 384, 3, 1, 1), tnn.ReLU(),
+        tnn.Conv2d(384, 256, 3, 1, 1), tnn.ReLU(),
+        tnn.Conv2d(256, 256, 3, 1, 1), tnn.ReLU(),
+    )
+    state_dict = {"features." + k: v for k, v in
+                  torch_feats.state_dict().items()}
+    state_dict["pool.p"] = torch.tensor([2.5])
+    official = {
+        "state_dict": state_dict,
+        "meta": {"architecture": "alexnet", "local_whitening": False,
+                 "pooling": "gem", "regional": False, "whitening": False,
+                 "mean": [0.485, 0.456, 0.406], "std": [0.229, 0.224, 0.225],
+                 "outputdim": 256, "Lw": None},
+    }
+    src = tmp_path / "official.pth"
+    torch.save(official, src)
+
+    dst = tmp_path / "converted.ckpt"
+    convert_contained_net({"source": str(src), "net": str(dst)}, ())
+
+    network = load_network({"path": str(dst), "runtime": None})
+    assert abs(network.model.pool_p - 2.5) < 1e-6
+    out = network.eval()(np.random.RandomState(0).rand(64, 64, 3).astype(np.float32))
+    assert np.asarray(out).shape[0] == 256
