@@ -52,8 +52,32 @@ def _redistribute_np(hist, clim):
     return hist
 
 
+try:  # native C extension (csrc/clahe_native.c), built via csrc/setup.py
+    import _mdir_native
+except ImportError:
+    _mdir_native = None
+
+
+def clahe_u8_native(src, clip_limit=4.0, grid=(8, 8)):
+    """Native-C CLAHE (bit-exact with clahe_u8_np); None if not built."""
+    if _mdir_native is None:
+        return None
+    src = np.ascontiguousarray(src)
+    out = _mdir_native.clahe_u8(src.tobytes(), src.shape[0], src.shape[1],
+                                float(clip_limit), int(grid[0]), int(grid[1]))
+    return np.frombuffer(out, np.uint8).reshape(src.shape)
+
+
 def clahe_u8_np(src, clip_limit=4.0, grid=(8, 8)):
-    """cv2-exact CLAHE on a uint8 image (numpy host reference)."""
+    """cv2-exact CLAHE on a uint8 image (native C when built, numpy else)."""
+    assert src.dtype == np.uint8 and src.ndim == 2
+    if _mdir_native is not None:
+        return clahe_u8_native(src, clip_limit, grid)
+    return _clahe_u8_numpy(src, clip_limit, grid)
+
+
+def _clahe_u8_numpy(src, clip_limit=4.0, grid=(8, 8)):
+    """Pure-numpy host reference."""
     assert src.dtype == np.uint8 and src.ndim == 2
     gh, gw = grid
     h, w = src.shape
