@@ -93,7 +93,10 @@ class HtmlReport(EventSink):
                 fig, ax = plt.subplots(figsize=(4, 2.2))
                 plots.plot_curve(points, ax)
                 ax.set_title("%s:%s" % (key, subkey), fontsize=8)
-                out.append(_img_tag(_fig_to_b64(fig)))
+                out.append("<div style='display:inline-block'><small>%s:%s"
+                           "</small><br>%s</div>"
+                           % (html.escape(key), html.escape(subkey),
+                              _img_tag(_fig_to_b64(fig))))
 
     def _render_weight_hists(self, out):
         import matplotlib
@@ -118,7 +121,10 @@ class HtmlReport(EventSink):
                 fig, ax = plt.subplots(figsize=(4, 2.2))
                 plots.plot_histogram(hists, ax)
                 ax.set_title("%s:%s" % (key, subkey), fontsize=8)
-                out.append(_img_tag(_fig_to_b64(fig)))
+                out.append("<div style='display:inline-block'><small>%s:%s"
+                           "</small><br>%s</div>"
+                           % (html.escape(key), html.escape(subkey),
+                              _img_tag(_fig_to_b64(fig))))
 
     def _render_blobs(self, out):
         latest = self.epochs[-1] if self.epochs else {}

@@ -1,0 +1,72 @@
+"""File readers: column selection, slicing, json cells, formats."""
+import gzip
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from mdir_tpu.data.readers import initialize_file_reader
+
+
+def test_tsv_reader(tmp_path):
+    path = tmp_path / "data.tsv"
+    path.write_text("id\tvalue\tmeta\n"
+                    "a\t1\t[1, 2]\n"
+                    "b\t2\t{}\n"
+                    "c\t3\t\n")
+    with initialize_file_reader(str(path), keys=["id", "meta"]) as reader:
+        data = reader.get()
+    assert data["id"] == ["a", "b", "c"]
+    assert data["meta"] == [[1, 2], {}, None]
+
+
+def test_tsv_gz_and_slicing(tmp_path):
+    path = tmp_path / "data.tsv.gz"
+    with gzip.open(path, "wt") as handle:
+        handle.write("id\n" + "\n".join(str(i) for i in range(10)) + "\n")
+    with initialize_file_reader(str(path), slice=1, partitions=3) as reader:
+        data = reader.get()
+    assert data["id"] == ["1", "4", "7"]
+
+
+def test_csv_separator(tmp_path):
+    path = tmp_path / "data.csv"
+    path.write_text("a,b\n1,2\n")
+    with initialize_file_reader(str(path)) as reader:
+        data = reader.get()
+    assert data["a"] == ["1"] and data["b"] == ["2"]
+
+
+def test_pkl_reader(tmp_path):
+    path = tmp_path / "data.pkl"
+    with open(path, "wb") as handle:
+        pickle.dump({"x": np.arange(10), "y": np.arange(10) * 2}, handle)
+    with initialize_file_reader(str(path), keys=["y"], limit=4) as reader:
+        data = reader.get()
+    np.testing.assert_array_equal(data["y"], [0, 2, 4, 6])
+
+
+def test_h5_reader(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    path = tmp_path / "data.h5"
+    with h5py.File(path, "w") as handle:
+        handle["col"] = np.arange(6)
+        handle.attrs["header"] = ["col"]
+    with initialize_file_reader(str(path), slice=0, partitions=2) as reader:
+        data = reader.get()
+    np.testing.assert_array_equal(data["col"], [0, 2, 4])
+
+
+def test_lst_reader_multi(tmp_path):
+    (tmp_path / "a.lst").write_text("x\ny\n")
+    (tmp_path / "b.lst").write_text("u\nv\n")
+    with initialize_file_reader(str(tmp_path / "[a|b].lst")) as reader:
+        data = reader.get()
+    assert data["a"] == ["x", "y"]
+    assert data["b"] == ["u", "v"]
+
+
+def test_unknown_suffix():
+    with pytest.raises(ValueError):
+        initialize_file_reader("foo.xyz")

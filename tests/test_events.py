@@ -1,0 +1,87 @@
+"""Event broker: aggregation, metadata keeping, best tracking, state resume."""
+import numpy as np
+import pytest
+
+from mdir_tpu.tools.events import EventBroker, MetadataKeeper, initialize_processor
+
+
+def _feed_epoch(events, epoch, losses, score=None):
+    for i, loss in enumerate(losses):
+        events.register_data(epoch, i, len(losses), "train/learning/loss",
+                             {"total": loss}, "scalar/loss")
+        events.register_data(epoch, i, len(losses), "train/learning/iteration",
+                             {"step": 0.1}, "scalar/time")
+    if score is not None:
+        events.register_data(epoch, None, 1, "val/learning/score",
+                             {"total": score}, "scalar/score")
+    events.close_epoch()
+
+
+def test_metadata_aggregation():
+    events = initialize_processor({}, dataroot=None)
+    _feed_epoch(events, 0, [2.0, 4.0], score=0.5)
+    _feed_epoch(events, 1, [1.0, 3.0], score=0.7)
+
+    md = events.metadata.metadata()
+    np.testing.assert_allclose(md["train/learning/loss:total_avg.4"], [3.0, 2.0])
+    assert md["val/learning/score:total"] == [0.5, 0.7]
+
+
+def test_is_last_best_and_best_epoch():
+    events = initialize_processor({}, dataroot=None)
+    _feed_epoch(events, 0, [2.0], score=0.5)
+    assert events.metadata.is_last_best("val/learning/score:total")
+    _feed_epoch(events, 1, [1.0], score=0.3)
+    assert not events.metadata.is_last_best("val/learning/score:total")
+    # loss: lower is better
+    assert events.metadata.is_last_best("train/learning/loss:total_avg.4"
+                                        .replace("_avg.4", ""))
+    best = events.metadata.best_epoch("val/learning/score:total")
+    assert best["index"] == 0
+    assert events.metadata.is_last_best("epoch")
+
+
+def test_state_roundtrip():
+    events = initialize_processor({}, dataroot=None)
+    _feed_epoch(events, 0, [2.0])
+    state = events.state_dict()
+
+    resumed = initialize_processor({}, dataroot=None, state=state)
+    _feed_epoch(resumed, 1, [1.0])
+    md = resumed.metadata.metadata()
+    np.testing.assert_allclose(md["train/learning/loss:total_avg.4"], [2.0, 1.0])
+
+
+def test_errors_coverage():
+    events = initialize_processor({}, dataroot=None)
+    _feed_epoch(events, 0, [2.0], score=0.5)
+    _feed_epoch(events, 1, [1.0])  # score missing in epoch 1
+    errors = events.metadata.errors()
+    messages = [e["message"] for e in errors]
+    assert any("epoch coverage" in m for m in messages)
+
+
+def test_weight_histograms_and_blobs(tmp_path, rng):
+    events = initialize_processor({}, dataroot=str(tmp_path))
+    events.register_data(0, 0, 1, "net/params",
+                         {"w": rng.randn(100)}, "weight/param")
+    events.register_data(0, 0, 1, "data/input",
+                         {"img.rgb": {"dtype": "image:rgb",
+                                      "data": rng.rand(8, 8, 3)}}, "blob")
+    events.close_epoch()
+    blobs = list(tmp_path.glob("blobs/*.png"))
+    assert len(blobs) == 1
+    # histogram stored as (centers, counts)
+    item = events.data[0]["net/params"]
+    centers, counts = item["data"]["w"][0]
+    assert len(centers) == 200 and sum(counts) == 100
+
+
+def test_htmlreport_renders(tmp_path, rng):
+    pytest.importorskip("matplotlib")
+    events = initialize_processor({"htmlreport": True}, dataroot=str(tmp_path))
+    _feed_epoch(events, 0, [2.0, 1.5], score=0.4)
+    report = tmp_path / "report.html"
+    assert report.exists()
+    content = report.read_text()
+    assert "train/learning/loss" in content
