@@ -20,6 +20,11 @@ def _setup_compilation_cache():
         import jax
 
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # some platform plugins pin jax_platforms, overriding the standard
+        # JAX_PLATFORMS env var; restore the env var's authority
+        env_platforms = _os.environ.get("JAX_PLATFORMS")
+        if env_platforms:
+            jax.config.update("jax_platforms", env_platforms)
     except Exception:
         pass
 

@@ -130,3 +130,26 @@ def test_validate_stage_deterministic(data_root, checkpoint_and_whitening):
     m2, = validate(_scenario(net_path, whit_path), ())
     for key in m1["eval"]:
         assert m1["eval"][key] == m2["eval"][key]
+
+
+def test_eval_cli(data_root, checkpoint_and_whitening, tmp_path):
+    """The examples/iccv19/eval.py CLI surface end to end (subprocess)."""
+    import subprocess
+    import sys
+
+    import yaml
+
+    net_path, whit_path = checkpoint_and_whitening
+    scenario_path = tmp_path / "scenario.yml"
+    with open(scenario_path, "w") as handle:
+        yaml.safe_dump(_scenario(net_path, whit_path), handle)
+
+    here = os.path.dirname(__file__)
+    script = os.path.join(here, "..", "examples", "iccv19", "eval.py")
+    env = dict(os.environ, MDIR_TPU_SKIP_DOWNLOAD="1", JAX_PLATFORMS="cpu",
+               MDIR_TPU_ROOT=str(data_root))
+    result = subprocess.run(
+        [sys.executable, script, str(scenario_path)],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "roxford.5k medium" in result.stdout, result.stdout
