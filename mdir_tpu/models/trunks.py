@@ -119,7 +119,6 @@ class SequentialFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, valid_hw=None):
-        pending_conv = None  # (kernel, stride, padding) of the conv awaiting relu
         for item in self.spec:
             kind = item[0]
             if kind == "conv":
@@ -137,7 +136,6 @@ class SequentialFeatures(nn.Module):
                     x = apply_valid_mask(x, valid_hw)
             else:
                 raise ValueError(kind)
-        del pending_conv
         return x, valid_hw
 
 

@@ -47,39 +47,6 @@ def batched_resize(batch, y0, y1, wy, x0, x1, wx):
     return jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx)
 
 
-@jax.jit
-def batched_resize_masked(batch, y0, y1, wy, x0, x1, wx, valid_hw):
-    """Resize + zero beyond the per-image valid extent (one fused program —
-    the gather pads with row/col-0 copies, and the trunk's masking contract
-    requires zeros there; doing it outside jit would dispatch per-op)."""
-    from ..models.trunks import apply_valid_mask
-
-    return apply_valid_mask(
-        jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx), valid_hw)
-
-
-class BucketedApply:
-    """One jitted masked-apply per module (cached — a fresh jax.jit wrapper
-    per call would recompile every bucket on every extraction)."""
-
-    _cache = {}
-
-    def __init__(self, model):
-        self.model = model
-        key = id(model.module)
-        if key not in self._cache:
-            module = model.module
-
-            def fn(variables, x, valid_hw):
-                return module.apply(variables, x, valid_hw=valid_hw)
-
-            self._cache[key] = jax.jit(fn)
-        self.fn = self._cache[key]
-
-    def __call__(self, batch, valid_hw):
-        return self.fn(self.model.variables, batch, valid_hw)
-
-
 def _analyze_wrappers(network):
     """Check the network's eval wrappers are the fusable pattern
     [cirwhiten?] [cirmultiscale?] [fakebatch?] and return (scales, whiten)."""
