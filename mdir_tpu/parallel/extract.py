@@ -142,6 +142,153 @@ def _get_fused(module, scales, has_whiten, device_normalize=False,
     return _FUSED_CACHE[key]
 
 
+class StreamingExtractor:
+    """Streaming bucketed multi-scale extraction.
+
+    Images are ``add()``-ed one at a time (from a prefetching host loader) and
+    buffered per shape bucket; full chunks dispatch immediately as one fused
+    async device program, so host decode/preprocess overlaps device compute
+    and peak host memory is bounded by max_batch images per bucket — the
+    reference loads one image at a time too (batch_size=1 loaders), never the
+    whole dataset.
+    """
+
+    def __init__(self, model, scales=(1,), msp=1.0, whiten=None,
+                 normalize_mean_std=None, compute_dtype=None,
+                 bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
+                 mesh=None):
+        self.model = model
+        self.scales = list(scales)
+        self.msp = msp
+        self.bucket_multiple = bucket_multiple
+        self.mesh = mesh
+
+        has_whiten = whiten is not None
+        if has_whiten:
+            self.P = jnp.asarray(whiten.P[:whiten.dimensions, :])
+            self.m = jnp.asarray(whiten.m)
+        else:
+            self.P = self.m = jnp.zeros((0,), jnp.float32)
+
+        self.device_normalize = normalize_mean_std is not None
+        if self.device_normalize:
+            self.mean = jnp.asarray(normalize_mean_std[0], jnp.float32)
+            self.std = jnp.asarray(normalize_mean_std[1], jnp.float32)
+            self.host_dtype = np.uint8
+        else:
+            self.mean = self.std = jnp.zeros((0,), jnp.float32)
+            self.host_dtype = np.float32
+
+        self.fused = _get_fused(model.module, self.scales, has_whiten,
+                                self.device_normalize, compute_dtype)
+
+        if mesh is not None:
+            from .mesh import batch_sharding, replicated
+
+            self.shard = batch_sharding(mesh)
+            self.variables = jax.device_put(model.variables, replicated(mesh))
+            self.n_dev = mesh.devices.size
+            self.max_batch = _round_up(max_batch, self.n_dev)
+        else:
+            self.shard = None
+            self.variables = model.variables
+            self.n_dev = 1
+            self.max_batch = max_batch
+
+        self.buffers = collections.defaultdict(list)  # bucket -> [(idx, arr)]
+        self.saw_full = set()  # buckets that compiled a full-size program
+        self.results = []  # (indices, device array), synced in finish()
+
+    def _bucket(self, arr):
+        return (_round_up(arr.shape[0], self.bucket_multiple),
+                _round_up(arr.shape[1], self.bucket_multiple))
+
+    def add(self, index, arr):
+        arr = np.asarray(arr)
+        bucket = self._bucket(arr)
+        self.buffers[bucket].append((index, arr))
+        if len(self.buffers[bucket]) == self.max_batch:
+            self._submit(bucket)
+
+    def _submit(self, bucket):
+        items = self.buffers.pop(bucket)
+        # pad to the full batch once a bucket has compiled at full size (or
+        # will: more items may still come) to keep one program per bucket
+        if bucket in self.saw_full or len(items) == self.max_batch:
+            bsz = self.max_batch
+            self.saw_full.add(bucket)
+        else:
+            bsz = _round_up(len(items), self.n_dev)
+        in_bucket = bucket
+        channels = items[0][1].shape[-1]
+
+        batch = np.zeros((bsz,) + in_bucket + (channels,), self.host_dtype)
+        valid = np.ones((bsz, 2), np.int32)
+        for bi, (_, arr) in enumerate(items):
+            batch[bi, :arr.shape[0], :arr.shape[1]] = arr
+            valid[bi] = arr.shape[:2]
+
+        grids = []
+        for scale in self.scales:
+            if scale == 1:
+                grids.append(None)
+                continue
+            oh_b = _round_up(max(int(math.floor(in_bucket[0] * scale)), 1),
+                             self.bucket_multiple)
+            ow_b = _round_up(max(int(math.floor(in_bucket[1] * scale)), 1),
+                             self.bucket_multiple)
+            y0 = np.zeros((bsz, oh_b), np.int32)
+            y1 = np.zeros((bsz, oh_b), np.int32)
+            wy = np.zeros((bsz, oh_b), np.float32)
+            x0 = np.zeros((bsz, ow_b), np.int32)
+            x1 = np.zeros((bsz, ow_b), np.int32)
+            wx = np.zeros((bsz, ow_b), np.float32)
+            out_valid = np.zeros((bsz, 2), np.int32)
+            for bi, (_, arr) in enumerate(items):
+                ih, iw = arr.shape[:2]
+                oh = int(math.floor(ih * scale))
+                ow = int(math.floor(iw * scale))
+                gy0, gy1, gwy = torch_resize_grid(ih, oh, scale)
+                gx0, gx1, gwx = torch_resize_grid(iw, ow, scale)
+                y0[bi, :oh], y1[bi, :oh], wy[bi, :oh] = gy0, gy1, gwy
+                x0[bi, :ow], x1[bi, :ow], wx[bi, :ow] = gx0, gx1, gwx
+                out_valid[bi] = (oh, ow)
+            grids.append((y0, y1, wy, x0, x1, wx, out_valid))
+
+        if self.mesh is not None:
+            dev_batch = jax.device_put(batch, self.shard)
+            dev_valid = jax.device_put(valid, self.shard)
+            dev_grids = tuple(
+                None if g is None else tuple(jax.device_put(a, self.shard)
+                                             for a in g)
+                for g in grids)
+        else:
+            dev_batch = jnp.asarray(batch)
+            dev_valid = jnp.asarray(valid)
+            dev_grids = tuple(None if g is None
+                              else tuple(jnp.asarray(a) for a in g)
+                              for g in grids)
+
+        vecs = self.fused(self.variables, dev_batch, dev_valid, dev_grids,
+                          jnp.float32(self.msp), self.P, self.m,
+                          self.mean, self.std)
+        self.results.append(([idx for idx, _ in items], vecs))  # async
+
+    def finish(self, n):
+        """Flush partial buffers; sync; return the (D, N) descriptor matrix."""
+        for bucket in list(self.buffers.keys()):
+            self._submit(bucket)
+        assert self.results, "no images were added"
+        dim = self.results[0][1].shape[1]
+        out = np.zeros((n, dim), np.float32)
+        for indices, vecs in self.results:
+            host = np.asarray(vecs)  # the only sync points
+            for bi, i in enumerate(indices):
+                out[i] = host[bi]
+        self.results = []
+        return out.T  # (D, N)
+
+
 def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
                             bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
                             max_side=None, normalize_mean_std=None,
@@ -155,124 +302,13 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
     into one compiled program per shape bucket; chunks dispatch
     asynchronously with a single host sync at the end.
     """
-    n = len(arrays)
-    scales = list(scales)
-
-    has_whiten = whiten is not None
-    if has_whiten:
-        P = jnp.asarray(whiten.P[:whiten.dimensions, :])
-        m = jnp.asarray(whiten.m)
-    else:
-        P = m = jnp.zeros((0,), jnp.float32)
-
-    device_normalize = normalize_mean_std is not None
-    if device_normalize:
-        mean = jnp.asarray(normalize_mean_std[0], jnp.float32)
-        std = jnp.asarray(normalize_mean_std[1], jnp.float32)
-        host_dtype = np.uint8
-    else:
-        mean = std = jnp.zeros((0,), jnp.float32)
-        host_dtype = np.float32
-
-    fused = _get_fused(model.module, scales, has_whiten, device_normalize,
-                       compute_dtype)
-
-    # multi-chip: shard each chunk's batch dim across the mesh, replicate the
-    # params; XLA lowers the per-image programs SPMD over ICI
-    if mesh is not None:
-        from .mesh import batch_sharding, replicated
-
-        shard = batch_sharding(mesh)
-        repl = replicated(mesh)
-        variables = jax.device_put(model.variables, repl)
-        n_dev = mesh.devices.size
-        max_batch = _round_up(max_batch, n_dev)
-    else:
-        shard = repl = None
-        variables = model.variables
-        n_dev = 1
-
-    # group by input bucket; out buckets per scale derive from the in bucket
-    groups = collections.defaultdict(list)
+    extractor = StreamingExtractor(
+        model, scales=scales, msp=msp, whiten=whiten,
+        normalize_mean_std=normalize_mean_std, compute_dtype=compute_dtype,
+        bucket_multiple=bucket_multiple, max_batch=max_batch, mesh=mesh)
     for i, arr in enumerate(arrays):
-        ih, iw = arr.shape[:2]
-        in_bucket = (_round_up(ih, bucket_multiple), _round_up(iw, bucket_multiple))
-        groups[in_bucket].append(i)
-
-    results = []  # (chunk indices, device array) pairs, synced at the end
-    for in_bucket, idxs in groups.items():
-        out_buckets = {}
-        for scale in scales:
-            if scale != 1:
-                out_buckets[scale] = (
-                    _round_up(max(int(math.floor(in_bucket[0] * scale)), 1),
-                              bucket_multiple),
-                    _round_up(max(int(math.floor(in_bucket[1] * scale)), 1),
-                              bucket_multiple))
-
-        for start in range(0, len(idxs), max_batch):
-            chunk = idxs[start:start + max_batch]
-            # pad the tail chunk to the full batch size: one compiled program
-            # per bucket instead of one per distinct remainder size
-            bsz = max_batch if len(idxs) > max_batch else len(chunk)
-            bsz = _round_up(bsz, n_dev)
-            channels = arrays[chunk[0]].shape[-1]
-
-            batch = np.zeros((bsz,) + in_bucket + (channels,), host_dtype)
-            valid = np.ones((bsz, 2), np.int32)
-            for bi, i in enumerate(chunk):
-                arr = arrays[i]
-                batch[bi, :arr.shape[0], :arr.shape[1]] = arr
-                valid[bi] = arr.shape[:2]
-
-            grids = []
-            for scale in scales:
-                if scale == 1:
-                    grids.append(None)
-                    continue
-                oh_b, ow_b = out_buckets[scale]
-                y0 = np.zeros((bsz, oh_b), np.int32)
-                y1 = np.zeros((bsz, oh_b), np.int32)
-                wy = np.zeros((bsz, oh_b), np.float32)
-                x0 = np.zeros((bsz, ow_b), np.int32)
-                x1 = np.zeros((bsz, ow_b), np.int32)
-                wx = np.zeros((bsz, ow_b), np.float32)
-                out_valid = np.zeros((bsz, 2), np.int32)
-                for bi, i in enumerate(chunk):
-                    ih, iw = arrays[i].shape[:2]
-                    oh = int(math.floor(ih * scale))
-                    ow = int(math.floor(iw * scale))
-                    gy0, gy1, gwy = torch_resize_grid(ih, oh, scale)
-                    gx0, gx1, gwx = torch_resize_grid(iw, ow, scale)
-                    y0[bi, :oh], y1[bi, :oh], wy[bi, :oh] = gy0, gy1, gwy
-                    x0[bi, :ow], x1[bi, :ow], wx[bi, :ow] = gx0, gx1, gwx
-                    out_valid[bi] = (oh, ow)
-                grids.append((jnp.asarray(y0), jnp.asarray(y1), jnp.asarray(wy),
-                              jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(wx),
-                              jnp.asarray(out_valid)))
-
-            if mesh is not None:
-                dev_batch = jax.device_put(batch, shard)
-                dev_valid = jax.device_put(valid, shard)
-                dev_grids = tuple(
-                    None if g is None else tuple(jax.device_put(np.asarray(a), shard)
-                                                 for a in g)
-                    for g in grids)
-            else:
-                dev_batch = jnp.asarray(batch)
-                dev_valid = jnp.asarray(valid)
-                dev_grids = tuple(grids)
-            vecs = fused(variables, dev_batch, dev_valid, dev_grids,
-                         jnp.float32(msp), P, m, mean, std)
-            results.append((chunk, vecs))  # async; no host sync here
-
-    dim = results[0][1].shape[1]
-    out = np.zeros((n, dim), np.float32)
-    for chunk, vecs in results:
-        host = np.asarray(vecs)  # the only sync points
-        for bi, i in enumerate(chunk):
-            out[i] = host[bi]
-    return out.T  # (D, N)
+        extractor.add(i, arr)
+    return extractor.finish(len(arrays))
 
 
 def _plain_normalize_chain(transform):
@@ -295,24 +331,26 @@ def _plain_normalize_chain(transform):
     return norm.params["mean"], norm.params["std"]
 
 
-def _load_images_uint8(images, image_size, bbxs=None, workers=6):
-    """Decode + crop + thumbnail, keep raw uint8 HWC pixels."""
-    import numpy as _np
+def _stream_images(images, image_size, transform, bbxs=None, workers=6):
+    """Iterator of transformed HWC arrays (threaded decode, bounded window)."""
+    dataset = ImagesFromList(root="", images=images, imsize=image_size,
+                             bbxs=bbxs, transform=transform)
+    return iter(DataLoader(dataset, batch_size=1, num_workers=workers,
+                           collate_fn=lambda items: items[0]))
 
-    def to_uint8(img):
-        arr = _np.asarray(img.convert("RGB"), dtype=_np.uint8)
-        return arr
+
+def _stream_images_uint8(images, image_size, bbxs=None, workers=6):
+    """Iterator of raw uint8 HWC pixels (decode + crop + thumbnail only)."""
 
     class _U8(ImagesFromList):
         def __getitem__(self, index):
             img = ImagesFromList.__getitem__(self, index)
-            return to_uint8(img)
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
     dataset = _U8(root="", images=images, imsize=image_size, bbxs=bbxs,
                   transform=None)
-    loader = DataLoader(dataset, batch_size=1, num_workers=workers,
-                        collate_fn=lambda items: items[0])
-    return list(loader)
+    return iter(DataLoader(dataset, batch_size=1, num_workers=workers,
+                           collate_fn=lambda items: items[0]))
 
 
 def extract_vectors_network(network, images, image_size, transform, bbxs=None,
@@ -344,16 +382,20 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
 
         mean_std = _plain_normalize_chain(transform)
         if mean_std is not None and len(mean_std[0]) == 3:
-            arrays = _load_images_uint8(images, image_size, bbxs)
-            return extract_vectors_batched(
-                model, arrays, scales=scales, msp=msp, whiten=whiten,
+            loader = _stream_images_uint8(images, image_size, bbxs)
+            extractor = StreamingExtractor(
+                model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, normalize_mean_std=mean_std,
                 compute_dtype=compute_dtype)
-
-        arrays = _load_images(images, image_size, transform, bbxs)
-        return extract_vectors_batched(model, arrays, scales=scales, msp=msp,
-                                       whiten=whiten, max_batch=batch_size,
-                                       compute_dtype=compute_dtype)
+        else:
+            loader = _stream_images(images, image_size, transform, bbxs)
+            extractor = StreamingExtractor(
+                model, scales=scales, msp=msp, whiten=whiten,
+                max_batch=batch_size, compute_dtype=compute_dtype)
+        # stream: host decode threads run ahead of the async device chunks
+        for i, arr in enumerate(loader):
+            extractor.add(i, arr)
+        return extractor.finish(len(images))
     arrays = _load_images(images, image_size, transform, bbxs)
 
     # exact fallback: per-image wrapper path
