@@ -27,13 +27,16 @@ class SupervisedEpoch:
     LOG_TRAINDATA_SAMPLE_EVERY = 5
 
     def __init__(self, data_loader, criterion, mean_std, *, batch_average,
-                 fakebatch):
+                 fakebatch, parallel=None):
         self.data_loader = data_loader
         self.criterion = criterion
         self.mean_std = mean_std
         self.epoch = None
         self.batch_average = batch_average
         self.fakebatch = fakebatch
+        # our extension over the reference schema: {"data": n} shards train
+        # batches over an n-device mesh (omit for single chip)
+        self.parallel = parallel
 
         assert criterion.reduction in {"mean", "sum"}, criterion.reduction
         self.criterion_mean_reduction = criterion.reduction == "mean"
@@ -69,8 +72,13 @@ class SupervisedEpoch:
         from .network import SequentialNetwork
 
         if self._train_step is None:
+            mesh = None
+            if self.parallel and self.parallel.get("data", 0) > 1:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh(self.parallel["data"])
             self._train_step = TrainStep(network, self.criterion,
-                                         self.batch_average)
+                                         self.batch_average, mesh=mesh)
 
         batch, valid, targets, batch_size = prepare_batch(batch_images,
                                                           batch_targets)

@@ -41,13 +41,20 @@ def _apply_model(model, params, batch, valid_hw, train, rng):
 
 
 class TrainStep:
-    """Jitted value-and-grad + optimizer apply for one network."""
+    """Jitted value-and-grad + optimizer apply for one network.
 
-    def __init__(self, network, criterion, batch_average):
+    With ``mesh`` set, the flattened image batch is sharded across the mesh's
+    data axis and parameters are replicated; XLA inserts the gradient
+    all-reduce over ICI (pick a batch size divisible by the device count —
+    the tuple loaders use drop_last like the reference).
+    """
+
+    def __init__(self, network, criterion, batch_average, mesh=None):
         self.network = network
         self.criterion = criterion
         self.batch_average = batch_average
         self.mean_reduction = criterion.reduction == "mean"
+        self.mesh = mesh
         self._grad_fn = None
 
     def _build(self):
@@ -98,6 +105,19 @@ class TrainStep:
     def gradients(self, params, batch, valid_hw, targets, rng=None):
         if self._grad_fn is None:
             self._build()
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            shard = batch_sharding(self.mesh)
+            repl = replicated(self.mesh)
+            assert batch.shape[0] % self.mesh.devices.size == 0, \
+                "batch size %d not divisible by %d devices" % (
+                    batch.shape[0], self.mesh.devices.size)
+            params = jax.device_put(params, repl)
+            batch = jax.device_put(np.asarray(batch), shard)
+            if valid_hw is not None:
+                valid_hw = jax.device_put(np.asarray(valid_hw), shard)
+            targets = jax.device_put(np.asarray(targets), repl)
         return self._grad_fn(params, batch, valid_hw, targets, rng)
 
 

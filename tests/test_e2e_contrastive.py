@@ -139,3 +139,75 @@ def test_gem_p_param_group_lr(sfm_root):
     lrs = opt.learning_rates
     assert abs(lrs["pool"] - 0.1) < 1e-6
     assert abs(lrs["default"] - 0.01) < 1e-6
+
+
+def test_contrastive_training_data_parallel(sfm_root, tmp_path):
+    """DP training over the 8-device CPU mesh: same API, sharded batches."""
+    import copy as _copy
+
+    from mdir_tpu.stages.train import train
+
+    mean_std = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+    params = {
+        "network": {
+            "type": "CirNetwork",
+            "path": None,
+            "model": {"architecture": "cirnet", "cir_architecture": "alexnet",
+                      "local_whitening": False, "pooling": "gem",
+                      "regional": False, "whitening": False,
+                      "pretrained": False},
+            "initialize": {"weights": "default", "seed": 0},
+            "runtime": {
+                "wrappers": {"train": "cirfaketuplebatch", "eval": ""},
+                "data": {"mean_std": mean_std,
+                         "transforms": "pil2np | totensor | normalize"},
+            },
+        },
+        "learning": {
+            "type": "TrainValLearning",
+            "checkpoints": {"directory": str(tmp_path / "exp_dp"),
+                            "store_every": 0, "checkpoint_every": 1},
+            "training": {
+                "type": "EpochTraining",
+                "epochs": 1,
+                "deterministic": True,
+                "seed": 0,
+                "criterion": {"loss": "contrastive", "margin": 0.7,
+                              "eps": 1e-6},
+                "optimizer": {"algorithm": "adam", "lr": 1e-6,
+                              "weight_decay": 0},
+                "scheduler": None,
+                "epoch_iteration": {
+                    "type": "SupervisedEpoch",
+                    "data": "train",
+                    "criterion": "default",
+                    "batch_average": False,
+                    "fakebatch": True,
+                    "parallel": {"data": 4},  # 4 tuples x 4 images = 16 imgs
+                },
+            },
+            "validation": False,
+        },
+        "output": {"learning": {"progress": {"print_each": 100}}},
+        "data": {
+            "train": {
+                "mean_std": mean_std,
+                "transforms": "pil2np | totensor | normalize",
+                "dataset": {"name": "CirTuples",
+                            "dataset": "retrieval-SfM-tiny",
+                            "split": "train",
+                            "image_size": 64,
+                            "neg_num": 2,
+                            "dataset_pkl": str(
+                                sfm_root / "data" / "train" /
+                                "retrieval-SfM-tiny" / "retrieval-SfM-tiny.pkl"),
+                            "image_dir": None,
+                            "query_size": 4,
+                            "pool_size": 16},
+                "loader": {"batch_size": 4, "num_workers": 0},
+            },
+        },
+    }
+    metadata, = train(_copy.deepcopy(params), ())
+    losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
+    assert len(losses) == 1 and np.isfinite(losses[0]) and losses[0] > 0
