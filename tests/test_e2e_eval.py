@@ -153,3 +153,24 @@ def test_eval_cli(data_root, checkpoint_and_whitening, tmp_path):
         capture_output=True, text=True, env=env, timeout=600)
     assert result.returncode == 0, result.stderr[-2000:]
     assert "roxford.5k medium" in result.stdout, result.stdout
+
+
+def test_network_overlay_validation(data_root, checkpoint_and_whitening):
+    """network_overlay: validate under different wrappers via a frozen copy."""
+    from mdir_tpu.stages.validate import validate
+
+    net_path, whit_path = checkpoint_and_whitening
+    scenario = _scenario(net_path, whit_path)
+    # base network has NO wrappers; the overlay supplies them per validation
+    scenario["network"]["runtime"] = {"wrappers": {"train": None, "eval": ""}}
+    scenario["validation"]["roxford5k"]["network_overlay"] = {
+        "runtime": {"wrappers": {
+            "train": None,
+            "eval": {"0_cirwhiten": {"whitening": whit_path,
+                                     "dimensions": None},
+                     "1_cirmultiscale": {"scales": True}}}}}
+    metadata, = validate(scenario, ())
+    base = _scenario(net_path, whit_path)
+    reference, = validate(base, ())
+    key = "roxford5k/validation/score:ap_medium_avg.4"
+    assert metadata["eval"][key] == reference["eval"][key]
