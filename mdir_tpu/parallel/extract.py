@@ -100,10 +100,6 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
 
         if compute_dtype is not None:
             batch = batch.astype(compute_dtype)
-            variables = jax.tree.map(
-                lambda a: a.astype(compute_dtype)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-                variables)
 
         acc = None
         for s_idx, scale in enumerate(scales):
@@ -182,16 +178,24 @@ class StreamingExtractor:
         self.fused = _get_fused(model.module, self.scales, has_whiten,
                                 self.device_normalize, compute_dtype)
 
+        variables = model.variables
+        if compute_dtype is not None:
+            # cast params once here (not per launch inside the program)
+            variables = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                variables)
+
         if mesh is not None:
             from .mesh import batch_sharding, replicated
 
             self.shard = batch_sharding(mesh)
-            self.variables = jax.device_put(model.variables, replicated(mesh))
+            self.variables = jax.device_put(variables, replicated(mesh))
             self.n_dev = mesh.devices.size
             self.max_batch = _round_up(max_batch, self.n_dev)
         else:
             self.shard = None
-            self.variables = model.variables
+            self.variables = variables
             self.n_dev = 1
             self.max_batch = max_batch
 

@@ -127,3 +127,16 @@ def test_mesh_sharded_extraction(rng, alexnet_model):
     sharded = extract_vectors_batched(model, arrays, scales=[1, 0.5], msp=3.0,
                                       max_batch=8, mesh=mesh)
     np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_extraction_close(rng, alexnet_model):
+    from mdir_tpu.parallel.extract import extract_vectors_batched
+
+    model = alexnet_model
+    arrays = [rng.rand(64, 80, 3).astype(np.float32) for _ in range(3)]
+    f32 = extract_vectors_batched(model, arrays, scales=[1], msp=3.0)
+    bf16 = extract_vectors_batched(model, arrays, scales=[1], msp=3.0,
+                                   compute_dtype="bfloat16")
+    # bf16 trunk compute: descriptors stay close after L2 normalization
+    cos = (f32 * bf16).sum(axis=0)
+    assert (cos > 0.995).all(), cos
