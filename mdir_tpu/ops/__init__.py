@@ -9,5 +9,16 @@ from . import clahe, colorspace, histogram, pooling, ranking, resize, whitening
 
 __all__ = [
     "clahe", "colorspace", "histogram", "pooling", "ranking", "resize",
-    "whitening",
+    "whitening", "pooling_pallas", "clahe_pallas",
 ]
+
+
+def __getattr__(name):
+    # Pallas kernels import lazily (pull in jax.experimental.pallas)
+    if name in ("pooling_pallas", "clahe_pallas"):
+        import importlib
+
+        module = importlib.import_module("." + name, __name__)
+        globals()[name] = module
+        return module
+    raise AttributeError(name)

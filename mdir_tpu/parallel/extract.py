@@ -23,8 +23,10 @@ from ..data.loaders import DataLoader
 from ..learning.wrappers import (CirMultiscaleAggregation, CirtorchWhiten,
                                  Compose, FakeBatch)
 
-BUCKET_MULTIPLE = 64
-MAX_BATCH = 16
+import os as _os
+
+BUCKET_MULTIPLE = int(_os.environ.get("MDIR_TPU_BUCKET_MULTIPLE", "64"))
+MAX_BATCH = int(_os.environ.get("MDIR_TPU_MAX_BATCH", "16"))
 
 
 def _round_up(v, m):

@@ -96,3 +96,14 @@ def path_join(prefix, path):
     if path.startswith("/"):
         return path
     return os.path.join(prefix, path)
+
+
+def expect(condition, message="", debug=False):
+    """Assert-like check with optional drop-into-pdb (daan.ml.tools.expect)."""
+    if condition:
+        return True
+    if debug:
+        import pdb
+
+        pdb.set_trace()
+    raise AssertionError(message or "expectation failed")
