@@ -417,3 +417,209 @@ def _is_sequential(network):
     from ..learning.network import SequentialNetwork
 
     return isinstance(network, SequentialNetwork)
+
+
+# ---------------------------------------------------------------------------
+# Composed (translator -> embedder) extraction
+# ---------------------------------------------------------------------------
+
+def _identity_grid(n):
+    idx = np.arange(n, dtype=np.int32)
+    return idx, idx, np.zeros(n, np.float32)
+
+
+def _composed_fused_fn(translator, embedder, device_normalize):
+    """One program per (scale, raw-bucket, padded-shape): exact scale-resize +
+    replicate-pad (one composed gather), batched translator forward, un-pad
+    shift, masked embedder. Replicates the reference composition exactly:
+    multiscale resize of the raw input, the translator's
+    reflectpad-to-divisible wrapper (replicate + centered crop), then the
+    embedder at the native scaled size (zero conv padding == masked bucket).
+    """
+    from ..models import _accepts_train
+    from ..models.trunks import apply_valid_mask
+
+    t_module = translator.module
+    e_module = embedder.module
+    t_takes_train = _accepts_train(t_module)
+
+    def fn(t_vars, e_vars, batch, valid_scaled, rp_grid, shift_grid, mean, std,
+           msp):
+        if device_normalize:
+            batch = batch.astype(jnp.float32) / 255.0
+            batch = (batch - mean) / std
+        # scaled + replicate-padded translator input, one gather
+        y0, y1, wy, x0, x1, wx = rp_grid
+        xpad = jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx)
+        if t_takes_train:
+            t_out = t_module.apply(t_vars, xpad, train=False)
+        else:
+            t_out = t_module.apply(t_vars, xpad)
+        # un-pad: shift the translated crop to the origin
+        ys, xs = shift_grid
+        zero_y = jnp.zeros(ys.shape, jnp.float32)
+        zero_x = jnp.zeros(xs.shape, jnp.float32)
+        t0 = jax.vmap(_resize_one)(t_out, ys, ys, zero_y, xs, xs, zero_x)
+        t0 = apply_valid_mask(t0, valid_scaled)
+        vecs = e_module.apply(e_vars, t0, valid_hw=valid_scaled)  # (B, D)
+        return vecs ** msp
+
+    return jax.jit(fn)
+
+
+_COMPOSED_CACHE = {}
+
+
+def _get_composed(translator, embedder, device_normalize):
+    key = (id(translator.module), id(embedder.module), device_normalize)
+    if key not in _COMPOSED_CACHE:
+        _COMPOSED_CACHE[key] = _composed_fused_fn(translator, embedder,
+                                                  device_normalize)
+    return _COMPOSED_CACHE[key]
+
+
+def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
+                             max_batch=MAX_BATCH,
+                             bucket_multiple=BUCKET_MULTIPLE):
+    """Bucketed exact extraction for a 2-net SequentialNetwork composition."""
+    import os
+
+    from ..learning.wrappers import ReflectPadMakeDivisible
+
+    first_name, last_name = network.sequence
+    first = network.networks[first_name]
+    last = network.networks[last_name]
+
+    # translator pad-divisor from its own eval wrappers
+    twraps = first.wrappers["eval"].wrappers
+    divisor = 1
+    if len(twraps) == 1 and isinstance(twraps[0], ReflectPadMakeDivisible):
+        divisor = twraps[0].divisible_by
+
+    scales, whiten = _analyze_wrappers(network)
+    model = last.model
+    msp = 1.0
+    if len(scales) > 1 and model.meta["pooling"] == "gem" \
+            and not model.meta["regional"] and not model.meta["whitening"]:
+        msp = float(model.pool_p)
+
+    mean_std = _plain_normalize_chain(transform)
+    device_normalize = mean_std is not None and len(mean_std[0]) == 3
+    if device_normalize:
+        loader = _stream_images_uint8(images, image_size, bbxs)
+        mean = jnp.asarray(mean_std[0], jnp.float32)
+        std = jnp.asarray(mean_std[1], jnp.float32)
+        host_dtype = np.uint8
+    else:
+        loader = _stream_images(images, image_size, transform, bbxs)
+        mean = std = jnp.zeros((0,), jnp.float32)
+        host_dtype = np.float32
+
+    fused = _get_composed(first.model, last.model, device_normalize)
+    t_vars, e_vars = first.model.variables, last.model.variables
+
+    def padded_shape(sh, sw):
+        ph = -(-sh // divisor) * divisor
+        pw = -(-sw // divisor) * divisor
+        return ph, pw
+
+    n = len(images)
+    dim = model.meta["out_channels"]
+    acc = np.zeros((n, dim), np.float64)
+    buffers = collections.defaultdict(list)
+    results = []
+
+    def submit(key, items):
+        scale, _rb, (ph, pw) = key
+        bsz = len(items)
+        channels = items[0][1].shape[-1]
+        rh_b, rw_b = key[1]
+        batch = np.zeros((bsz, rh_b, rw_b, channels), host_dtype)
+        valid = np.ones((bsz, 2), np.int32)
+        y0c = np.zeros((bsz, ph), np.int32)
+        y1c = np.zeros((bsz, ph), np.int32)
+        wyc = np.zeros((bsz, ph), np.float32)
+        x0c = np.zeros((bsz, pw), np.int32)
+        x1c = np.zeros((bsz, pw), np.int32)
+        wxc = np.zeros((bsz, pw), np.float32)
+        ysa = np.zeros((bsz, ph), np.int32)
+        xsa = np.zeros((bsz, pw), np.int32)
+
+        for bi, (idx, arr) in enumerate(items):
+            rh, rw = arr.shape[:2]
+            batch[bi, :rh, :rw] = arr
+            sh = int(math.floor(rh * scale)) if scale != 1 else rh
+            sw = int(math.floor(rw * scale)) if scale != 1 else rw
+            valid[bi] = (sh, sw)
+            # reference ReflectPadMakeDivisible: centered, floor top/left
+            pad_h = ((-(-sh // divisor) * divisor) - sh) / 2.0
+            pad_w = ((-(-sw // divisor) * divisor) - sw) / 2.0
+            top, left = int(np.floor(pad_h)), int(np.floor(pad_w))
+
+            if scale == 1:
+                gy0, gy1, gwy = _identity_grid(sh)
+                gx0, gx1, gwx = _identity_grid(sw)
+            else:
+                gy0, gy1, gwy = torch_resize_grid(rh, sh, scale)
+                gx0, gx1, gwx = torch_resize_grid(rw, sw, scale)
+
+            sy = np.clip(np.arange(ph) - top, 0, sh - 1)
+            sx = np.clip(np.arange(pw) - left, 0, sw - 1)
+            y0c[bi], y1c[bi], wyc[bi] = gy0[sy], gy1[sy], gwy[sy]
+            x0c[bi], x1c[bi], wxc[bi] = gx0[sx], gx1[sx], gwx[sx]
+            ysa[bi] = np.clip(np.arange(ph) + top, 0, ph - 1)
+            xsa[bi] = np.clip(np.arange(pw) + left, 0, pw - 1)
+
+        vecs = fused(t_vars, e_vars, jnp.asarray(batch), jnp.asarray(valid),
+                     tuple(jnp.asarray(a) for a in (y0c, y1c, wyc, x0c, x1c, wxc)),
+                     (jnp.asarray(ysa), jnp.asarray(xsa)),
+                     mean, std, jnp.float32(msp))
+        results.append(([i for i, _ in items], vecs))
+
+    for i, arr in enumerate(loader):
+        arr = np.asarray(arr)
+        rh, rw = arr.shape[:2]
+        rb = (_round_up(rh, bucket_multiple), _round_up(rw, bucket_multiple))
+        for scale in scales:
+            sh = int(math.floor(rh * scale)) if scale != 1 else rh
+            sw = int(math.floor(rw * scale)) if scale != 1 else rw
+            key = (scale, rb, padded_shape(sh, sw))
+            buffers[key].append((i, arr))
+            if len(buffers[key]) == max_batch:
+                submit(key, buffers.pop(key))
+    for key in list(buffers.keys()):
+        submit(key, buffers.pop(key))
+
+    for indices, vecs in results:
+        host = np.asarray(vecs, np.float64)
+        for bi, i in enumerate(indices):
+            acc[i] += host[bi]
+
+    acc = (acc / len(scales)) ** (1.0 / msp)
+    acc = acc / np.linalg.norm(acc, axis=1, keepdims=True)
+    vecs_out = acc.T
+    if whiten is not None:
+        vecs_out = np.asarray(whiten.postprocess(
+            jnp.asarray(vecs_out, jnp.float32), None, None))
+    return vecs_out
+
+
+def _composable_sequential(network):
+    """True when the SequentialNetwork fits the fused composed path."""
+    from ..learning.network import SequentialNetwork, SingleNetwork
+    from ..learning.wrappers import ReflectPadMakeDivisible
+
+    if not isinstance(network, SequentialNetwork) or len(network.sequence) != 2:
+        return False
+    first = network.networks[network.sequence[0]]
+    last = network.networks[network.sequence[1]]
+    if not isinstance(first, SingleNetwork):
+        return False
+    twraps = first.wrappers["eval"].wrappers
+    if twraps and not (len(twraps) == 1
+                       and isinstance(twraps[0], ReflectPadMakeDivisible)):
+        return False
+    model = last.model
+    return getattr(model, "is_descriptor_model", False) \
+        and model.meta["pooling"] in ("gem", "mac", "spoc") \
+        and not model.meta["regional"]

@@ -188,3 +188,45 @@ def test_cirtorch_format_convert(tmp_path):
     assert abs(network.model.pool_p - 2.5) < 1e-6
     out = network.eval()(np.random.RandomState(0).rand(64, 64, 3).astype(np.float32))
     assert np.asarray(out).shape[0] == 256
+
+
+def test_composed_fused_extraction_equals_wrapper_path(composed_checkpoint, rng,
+                                                       tmp_path):
+    """The bucketed composed (translator -> embedder) extractor must equal the
+    per-image wrapper path exactly (incl. multiscale + reflectpad)."""
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning import load_network
+    from mdir_tpu.parallel.extract import (_load_images,
+                                           extract_vectors_composed)
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network(
+        {"path": str(ckpt_dir),
+         "runtime": {"wrappers": {"train": None,
+                                  "eval": {"0_cirmultiscale": {"scales": True}}}}}
+    ).eval()
+    # give the translator a reflectpad wrapper (like the paper's U-Net)
+    from mdir_tpu.learning.network import Network
+
+    network.networks["translate"].wrappers = Network.initialize_wrappers(
+        "reflectpad_divisible:32")
+
+    mean_std = [[0.5] * 3, [0.5] * 3]
+    transform = initialize_transforms("pil2np | totensor | normalize", mean_std)
+
+    paths = []
+    for i, (h, w) in enumerate([(96, 128), (128, 96), (100, 90), (96, 128)]):
+        p = tmp_path / ("c%d.jpg" % i)
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            p, quality=95)
+        paths.append(str(p))
+
+    # reference path: per-image wrappers
+    arrays = _load_images(paths, 128, transform)
+    ref = np.stack([np.asarray(network(a)).reshape(-1) for a in arrays], axis=1)
+
+    fast = extract_vectors_composed(network, paths, 128, transform,
+                                    max_batch=2)
+    np.testing.assert_allclose(ref, fast, rtol=1e-4, atol=1e-5)
