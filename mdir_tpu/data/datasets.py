@@ -86,6 +86,27 @@ class ImagesFromList:
         return img
 
 
+class ImagesFromArrays:
+    """Dataset over in-memory arrays (cirtorch ImagesFromDataList parity)."""
+
+    loader_params = {}
+
+    def __init__(self, images, transform=None):
+        if len(images) == 0:
+            raise RuntimeError("Dataset contains 0 images!")
+        self.images = images
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, index):
+        img = self.images[index]
+        if self.transform is not None:
+            img = self.transform(img)
+        return img
+
+
 def imread_rgb(path):
     from PIL import Image, ImageFile
 

@@ -105,6 +105,14 @@ def roipool(x, pool_fn, levels=3):
     return jnp.stack(vecs, axis=-2)
 
 
+def powerlaw(x, eps=1e-6):
+    """Signed sqrt power-law normalization (cirtorch functional.py:133-135;
+    implemented as documented — the reference's own version has an unused-self
+    bug and is never called)."""
+    x = x + eps
+    return jnp.sign(x) * jnp.sqrt(jnp.abs(x))
+
+
 POOLING = {
     "mac": mac,
     "spoc": spoc,

@@ -623,3 +623,62 @@ def _composable_sequential(network):
     return getattr(model, "is_descriptor_model", False) \
         and model.meta["pooling"] in ("gem", "mac", "spoc") \
         and not model.meta["regional"]
+
+
+def extract_regional_vectors(network, images, image_size, transform, bbxs=None):
+    """Per-image regional descriptors (cirtorch extract_regional_vectors /
+    extract_ssr): roipool region vectors, L2-normalized + regionally whitened,
+    not aggregated. Returns a list of (R, D) arrays."""
+    from ..ops import pooling as pool_ops
+
+    network.eval()
+    model = network.model
+    variables = model.variables
+    module = model.module
+
+    acc = []
+    for arr in _stream_images(images, image_size, transform, bbxs):
+        x = jnp.asarray(np.asarray(arr))[None]
+        feats, _ = _apply_features(module, variables, x)
+        p = float(model.pool_p) if model.meta["pooling"] == "gem" else None
+        if p is not None:
+            region_fn = lambda r: pool_ops.gem(r, p=p)
+        elif model.meta["pooling"] == "mac":
+            region_fn = pool_ops.mac
+        else:
+            region_fn = pool_ops.spoc
+        vecs = pool_ops.roipool(feats, region_fn)[0]  # (R, D)
+        vecs = pool_ops.l2n(vecs)
+        acc.append(np.asarray(vecs))
+    return acc
+
+
+def extract_local_vectors(network, images, image_size, transform, bbxs=None):
+    """Per-image local (spatial) descriptors (cirtorch extract_local_vectors /
+    extract_ssl): channel-L2-normalized feature cells, (D, H*W) per image."""
+    from ..ops import pooling as pool_ops
+
+    network.eval()
+    model = network.model
+    module = model.module
+    variables = model.variables
+
+    acc = []
+    for arr in _stream_images(images, image_size, transform, bbxs):
+        x = jnp.asarray(np.asarray(arr))[None]
+        feats, _ = _apply_features(module, variables, x)  # (1, H, W, D)
+        normed = pool_ops.l2n(feats, axis=-1)[0]
+        acc.append(np.asarray(normed.reshape(-1, normed.shape[-1]).T))
+    return acc
+
+
+def _apply_features(module, variables, x):
+    """Run just the trunk of an ImageRetrievalNet module."""
+    from ..models.trunks import make_trunk
+
+    trunk = make_trunk(module.architecture, module.frozen_bn)
+    trunk_vars = {"params": variables["params"]["features"]}
+    if "batch_stats" in variables and "features" in variables.get(
+            "batch_stats", {}):
+        trunk_vars["batch_stats"] = variables["batch_stats"]["features"]
+    return trunk.apply(trunk_vars, x)

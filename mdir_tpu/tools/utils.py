@@ -107,3 +107,17 @@ def expect(condition, message="", debug=False):
 
         pdb.set_trace()
     raise AssertionError(message or "expectation failed")
+
+
+def htime(seconds):
+    """Human-readable duration (cirtorch utils/general.py:15-29)."""
+    c = round(seconds)
+    days, hours = c // 86400, c // 3600 % 24
+    minutes, secs = c // 60 % 60, c % 60
+    if days > 0:
+        return "%dd %dh %dm %ds" % (days, hours, minutes, secs)
+    if hours > 0:
+        return "%dh %dm %ds" % (hours, minutes, secs)
+    if minutes > 0:
+        return "%dm %ds" % (minutes, secs)
+    return "%ds" % secs

@@ -73,7 +73,9 @@ def _random_gnd(rng, db_size, nq, with_junk=True):
 
 
 @pytest.mark.parametrize("with_junk", [True, False])
-def test_compute_map_matches_reference(rng, with_junk):
+@pytest.mark.parametrize("seed", range(10))
+def test_compute_map_matches_reference(with_junk, seed):
+    rng = np.random.RandomState(seed)
     db_size, nq = 50, 12
     scores = rng.rand(db_size, nq)
     ranks = np.argsort(-scores, axis=0)
