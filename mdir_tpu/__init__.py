@@ -12,9 +12,17 @@ def _setup_compilation_cache():
     """Persistent XLA compilation cache (huge win for remote-device compiles;
     harmless locally). Respects an explicit JAX_COMPILATION_CACHE_DIR."""
     if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-        cache_dir = _os.path.join(
-            _os.path.expanduser("~"), ".cache", "mdir_tpu", "jax_cache")
-        _os.makedirs(cache_dir, exist_ok=True)
+        # prefer a repo-local cache (shared across bench/eval invocations on
+        # this checkout); fall back to the user cache dir
+        repo_cache = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache")
+        try:
+            _os.makedirs(repo_cache, exist_ok=True)
+            cache_dir = _os.path.abspath(repo_cache)
+        except OSError:
+            cache_dir = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "mdir_tpu", "jax_cache")
+            _os.makedirs(cache_dir, exist_ok=True)
         _os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
     try:
         import jax
