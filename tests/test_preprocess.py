@@ -1,0 +1,70 @@
+"""In-graph preprocessing chain vs the exact host transform chain."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mdir_tpu.data.transforms import initialize_transforms
+from mdir_tpu.ops.preprocess import make_device_preprocess, supports_chain
+
+cv2 = pytest.importorskip("cv2")
+
+MEAN = [0.485, 0.456, 0.406]
+STD = [0.229, 0.224, 0.225]
+
+
+def _host_chain(chain, batch_u8, mean_std):
+    transform = initialize_transforms(chain, mean_std)
+    return np.stack([transform(img.astype(np.float32) / 255.0)
+                     for img in batch_u8])
+
+
+def test_plain_chain_bit_equal(rng):
+    batch = (rng.rand(2, 64, 96, 3) * 255).astype(np.uint8)
+    fn = make_device_preprocess("pil2np | totensor | normalize", [MEAN, STD])
+    ref = _host_chain("totensor | normalize", batch, [MEAN, STD])
+    out = np.asarray(fn(jnp.asarray(batch)))
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-6)
+
+
+def test_clahe_chain_near_exact(rng):
+    batch = (rng.rand(2, 64, 96, 3) * 255).astype(np.uint8)
+    fn = make_device_preprocess("pil2np | apply_clahe | totensor | normalize",
+                                [MEAN, STD])
+    ref = _host_chain("apply_clahe | totensor | normalize", batch, [MEAN, STD])
+    out = np.asarray(fn(jnp.asarray(batch)))
+    err = np.abs(ref - out)
+    # The ~1e-3 colorspace delta flips (L*255) uint8 bins on isolated pixels,
+    # amplified by the LUT slope: rare pixels differ by a few /255 steps
+    # (normalized units divide by std ~0.22). Mean error stays ~0.5%.
+    assert err.max() < 0.5, err.max()
+    assert err.mean() < 0.05, err.mean()
+    assert (err > 0.1).mean() < 0.02  # only isolated bin-flip pixels
+
+
+def test_add_clahe_chain(rng):
+    batch = (rng.rand(2, 64, 96, 3) * 255).astype(np.uint8)
+    mean4, std4 = MEAN + [0.5], STD + [0.25]
+    fn = make_device_preprocess(
+        "pil2np | add_clahe_fromrgb | totensor | normalize", [mean4, std4])
+    ref = _host_chain("add_clahe_fromrgb | totensor | normalize",
+                      batch, [mean4, std4])
+    out = np.asarray(fn(jnp.asarray(batch)))
+    assert out.shape == ref.shape == (2, 64, 96, 4)
+    err = np.abs(ref - out)
+    assert err.max() < 0.5 and err.mean() < 0.05
+
+
+def test_tospace_chain(rng):
+    batch = (rng.rand(2, 32, 48, 3) * 255).astype(np.uint8)
+    fn = make_device_preprocess("pil2np | tospace:lab | totensor | normalize",
+                                [MEAN, STD])
+    ref = _host_chain("tospace:lab | totensor | normalize", batch, [MEAN, STD])
+    out = np.asarray(fn(jnp.asarray(batch)))
+    assert np.abs(ref - out).max() < 0.05
+
+
+def test_supports_chain():
+    assert supports_chain("pil2np | apply_clahe | totensor | normalize")
+    assert not supports_chain("pil2np | mirror | totensor | normalize")
+    assert not supports_chain("pil2np | totensor")
