@@ -174,3 +174,45 @@ def test_network_overlay_validation(data_root, checkpoint_and_whitening):
     reference, = validate(base, ())
     key = "roxford5k/validation/score:ap_medium_avg.4"
     assert metadata["eval"][key] == reference["eval"][key]
+
+
+def test_cirdatasetap_tsv_mode(data_root, checkpoint_and_whitening, tmp_path):
+    """The tsv db/query dataset mode of CirDatasetAp (old 'ok' protocol)."""
+    import json
+
+    from mdir_tpu.learning import load_network
+    from mdir_tpu.optim.scores import initialize_score
+
+    net_path, whit_path = checkpoint_and_whitening
+    imgdir = str(data_root / "data" / "test" / "roxford5k" / "jpg")
+
+    with open(tmp_path / "db.tsv", "w") as handle:
+        handle.write("identifier\n")
+        for i in range(8):
+            handle.write("img%02d.jpg\n" % i)
+    with open(tmp_path / "queries.tsv", "w") as handle:
+        handle.write("query\tbbx\tok\tjunk\n")
+        handle.write("img00.jpg\t%s\t%s\t%s\n" % (
+            json.dumps([2.0, 2.0, 70.0, 50.0]),
+            json.dumps(["img01.jpg", "img02.jpg"]),
+            json.dumps(["img00.jpg"])))
+        handle.write("img03.jpg\t\t%s\t%s\n" % (
+            json.dumps(["img04.jpg"]), json.dumps([])))
+
+    network = load_network(
+        {"path": net_path,
+         "runtime": {"wrappers": {"train": None,
+                                  "eval": {"0_cirmultiscale": {"scales": True}}}}}
+    ).eval()
+
+    score = initialize_score({
+        "type": "cirdatasetap",
+        "image_size": 96,
+        "dataset": {"name": "mini-tsv", "queries": str(tmp_path / "queries.tsv"),
+                    "db": str(tmp_path / "db.tsv"), "imgdir": imgdir},
+        "transforms": "pil2np | totensor | normalize",
+        "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]],
+    })
+    averages = score(network, None, None)
+    assert set(averages) == {"map"}
+    assert 0.0 <= averages["map"] <= 1.0
