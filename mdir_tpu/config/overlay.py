@@ -31,8 +31,8 @@ def dict_deep_overlay(*data, list_replace=False):
     original, overlay = data
     if isinstance(original, (list, tuple)) and isinstance(overlay, dict):
         for key, item in overlay.items():
-            if not isinstance(key, int):
-                raise TypeError("List overlay requires int keys, got %r" % (key,))
+            assert isinstance(key, int), \
+                "List overlay requires int keys, got %r" % (key,)
             original[key] = dict_deep_overlay(original[key], item)
         return original
     if not isinstance(original, type(overlay)):
