@@ -39,3 +39,14 @@ def test_clahe_pallas_interp_matches_numpy(rng):
     diff = np.abs(ref.astype(int) - out.astype(int))
     # FMA fusion can flip a round-half-even boundary on rare pixels
     assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+
+def test_clahe_pallas_full_matches_numpy(rng):
+    """Both CLAHE stages as Pallas kernels (LUT build + interpolation)."""
+    from mdir_tpu.ops.clahe import clahe_u8_np
+    from mdir_tpu.ops.clahe_pallas import clahe_u8_pallas_full
+
+    src = (rng.rand(32, 32) * 255).astype(np.uint8)
+    ref = clahe_u8_np(src)
+    out = np.asarray(clahe_u8_pallas_full(jnp.asarray(src), interpret=True))
+    np.testing.assert_array_equal(ref, out)
