@@ -1,10 +1,14 @@
-"""Validation classes.
+"""Validation tasks run between training epochs (or standalone in eval).
 
-Parity with ``mdir/learning/validation.py``: SingleValidation (loss over a
-loader, or a loader-less score criterion taking (network, device, logger)),
-per-epoch frequency gating, network_overlay (validate under different
-wrappers via a frozen overlay copy), MultiCriterialValidation (named dict +
-decisive_criterion), NoValidation.
+Same yaml surface as ``mdir/learning/validation.py`` — registry types
+``SingleValidation`` / ``MultiCriterialValidation``, ``data: null`` meaning
+"score criterion instead of a loss loader", ``network_overlay`` wrapper
+swaps, per-epoch ``frequency`` gating — but decomposed differently: the two
+modes of the reference's SingleValidation are separate classes here
+(``ScoreValidation`` wraps a loader-less score such as CirDatasetAp,
+``LossValidation`` averages a criterion over a loader) sharing a small
+scheduling base, and ``SingleValidation`` is only the yaml-facing factory
+that picks between them.
 """
 import copy
 
@@ -28,108 +32,136 @@ class NoValidation:
         return "%s ()" % self.__class__.__name__
 
 
-class SingleValidation:
+class _ScheduledValidation:
+    """Shared scheduling: frequency gating + wrapper-overlay application."""
 
-    def __init__(self, data_loader, criterion, network_overlay, frequency):
-        self.data_loader = data_loader
-        self.criterion = criterion
+    def __init__(self, network_overlay, frequency):
         self.network_overlay = network_overlay
         self.frequency = frequency
-        self.decisive_criterion = "val/learning/%s:total" % (
-            "loss" if data_loader else "score")
 
-        self.criterion_mean_reduction = None
-        if self.data_loader:
-            assert criterion.reduction in {"mean", "sum"}, criterion.reduction
-            self.criterion_mean_reduction = criterion.reduction == "mean"
-
-    @classmethod
-    def initialize(cls, params_validation, data, params_data, default_criterion,
-                   net_defaults):
-        data_key = params_validation.pop("data")
-        if data_key is None:
-            data_loader = None
-        else:
-            data_params = get_dataset_params(params_data[data_key], net_defaults)
-            data_loader = initialize_dataset_loader(data, "val",
-                                                    copy.deepcopy(data_params))
-
-        criterion_section = params_validation.pop("criterion")
-        if criterion_section == "default":
-            if default_criterion is None:
-                raise ValueError(
-                    "Criterion cannot be 'default' when default criterion is not specified")
-            criterion = default_criterion
-        elif data_loader is None:
-            criterion = initialize_score(
-                get_dataset_params(criterion_section, net_defaults))
-        else:
-            criterion = initialize_criterion(criterion_section)
-
-        network_overlay = params_validation.pop("network_overlay")
-        frequency = params_validation.pop("frequency")
-        assert not params_validation, params_validation.keys()
-        return cls(data_loader=data_loader, criterion=criterion,
-                   network_overlay=network_overlay, frequency=frequency)
+    def should_validate(self, epoch):
+        if epoch is None:
+            return True
+        return bool(self.frequency) and (epoch + 1) % self.frequency == 0
 
     def validations(self, epoch):
         return [("val", self)] if self.should_validate(epoch) else []
 
-    def should_validate(self, epoch):
-        return epoch is None or (self.frequency and (epoch + 1) % self.frequency == 0)
+    def _frozen_overlay(self, network, device):
+        overlay = copy.deepcopy(self.network_overlay)
+        frozen = network.overlay_params(overlay, device)
+        frozen.eval()
+        return frozen
+
+
+class ScoreValidation(_ScheduledValidation):
+    """Loader-less validation: a score callable taking (network, device, logger)."""
+
+    decisive_criterion = "val/learning/score:total"
+
+    def __init__(self, score, network_overlay, frequency):
+        super().__init__(network_overlay, frequency)
+        self.criterion = score
 
     def validate(self, network, device=None, logger=None):
-        network = network.overlay_params(copy.deepcopy(self.network_overlay),
-                                         device)
-        val_loader = self.data_loader
-        stopwatch = StopWatch()
-
-        network.eval()
-
-        if not val_loader:
-            return self.criterion(network, device, logger)
-
-        if hasattr(val_loader.dataset, "prepare_epoch"):
-            metadata = val_loader.dataset.prepare_epoch(network, device)
-            stopwatch.lap("prepare_data")
-            if metadata and logger:
-                logger(None, len(val_loader), "data_mining", metadata,
-                       "scalar/loss")
-            if logger:
-                logger(None, len(val_loader), "prepare_epoch",
-                       stopwatch.reset(include_total=False), "scalar/time")
-
-        acc = []
-        for i, (batch_images, batch_targets) in enumerate(val_loader):
-            stopwatch.lap("prepare_data")
-            loss = float(np.asarray(
-                self.criterion(_network_batch(network, batch_images),
-                               _targets(batch_targets))))
-            if not self.criterion_mean_reduction:
-                loss /= len(batch_images)
-            stopwatch.lap("process_batch")
-            if logger:
-                logger(i, len(val_loader), "loss", {"total": loss}, "scalar/loss")
-                logger(i, len(val_loader), "iteration",
-                       stopwatch.reset(include_total=False), "scalar/time")
-            acc.append(loss)
-        return acc
+        network = self._frozen_overlay(network, device)
+        return self.criterion(network, device, logger)
 
     def __repr__(self):
-        return ("%s (\n    criterion: %s\n    frequency: %s\n)"
-                % (self.__class__.__name__, indent(str(self.criterion)),
-                   self.frequency))
+        return "%s (\n    score: %s\n    frequency: %s\n)" % (
+            self.__class__.__name__, indent(str(self.criterion)), self.frequency)
 
 
-def _network_batch(network, batch_images):
-    """Run the network on a loader batch (list or array)."""
-    return network(batch_images)
+class LossValidation(_ScheduledValidation):
+    """Criterion averaged over a validation loader, reported batch-normalized."""
+
+    decisive_criterion = "val/learning/loss:total"
+
+    def __init__(self, data_loader, criterion, network_overlay, frequency):
+        super().__init__(network_overlay, frequency)
+        self.data_loader = data_loader
+        self.criterion = criterion
+        assert criterion.reduction in {"mean", "sum"}, criterion.reduction
+
+    def _batch_loss(self, network, images, targets):
+        if isinstance(targets, list):
+            targets = np.concatenate(
+                [np.asarray(t).reshape(-1) for t in targets])
+        else:
+            targets = np.asarray(targets)
+        loss = float(np.asarray(self.criterion(network(images), targets)))
+        if self.criterion.reduction == "sum":
+            loss /= len(images)
+        return loss
+
+    def _prepare(self, network, device, logger, watch):
+        dataset = self.data_loader.dataset
+        if not hasattr(dataset, "prepare_epoch"):
+            return
+        mining_stats = dataset.prepare_epoch(network, device)
+        watch.lap("prepare_data")
+        if logger:
+            if mining_stats:
+                logger(None, len(self.data_loader), "data_mining",
+                       mining_stats, "scalar/loss")
+            logger(None, len(self.data_loader), "prepare_epoch",
+                   watch.reset(include_total=False), "scalar/time")
+
+    def validate(self, network, device=None, logger=None):
+        network = self._frozen_overlay(network, device)
+        watch = StopWatch()
+        self._prepare(network, device, logger, watch)
+
+        losses = []
+        total = len(self.data_loader)
+        for i, (images, targets) in enumerate(self.data_loader):
+            watch.lap("prepare_data")
+            loss = self._batch_loss(network, images, targets)
+            watch.lap("process_batch")
+            if logger:
+                logger(i, total, "loss", {"total": loss}, "scalar/loss")
+                logger(i, total, "iteration",
+                       watch.reset(include_total=False), "scalar/time")
+            losses.append(loss)
+        return losses
+
+    def __repr__(self):
+        return "%s (\n    criterion: %s\n    frequency: %s\n)" % (
+            self.__class__.__name__, indent(str(self.criterion)), self.frequency)
 
 
-def _targets(batch_targets):
-    if isinstance(batch_targets, list):
-        return np.concatenate([np.asarray(t).reshape(-1) for t in batch_targets])
-    return np.asarray(batch_targets)
+class SingleValidation:
+    """Yaml-facing factory: picks Score- or LossValidation from the params."""
+
+    @classmethod
+    def initialize(cls, params, data, params_data, default_criterion,
+                   net_defaults):
+        data_key = params.pop("data")
+        criterion_section = params.pop("criterion")
+        schedule = {"network_overlay": params.pop("network_overlay"),
+                    "frequency": params.pop("frequency")}
+        assert not params, params.keys()
+
+        if criterion_section == "default" and default_criterion is None:
+            raise ValueError(
+                "Criterion cannot be 'default' when default criterion is not specified")
+
+        if data_key is None:
+            if criterion_section == "default":
+                score = default_criterion
+            else:
+                score = initialize_score(
+                    get_dataset_params(criterion_section, net_defaults))
+            return ScoreValidation(score, **schedule)
+
+        loader_params = get_dataset_params(params_data[data_key], net_defaults)
+        loader = initialize_dataset_loader(data, "val",
+                                           copy.deepcopy(loader_params))
+        if criterion_section == "default":
+            criterion = default_criterion
+        else:
+            criterion = initialize_criterion(criterion_section)
+        return LossValidation(loader, criterion, **schedule)
 
 
 class MultiCriterialValidation:
@@ -139,19 +171,15 @@ class MultiCriterialValidation:
         self.vals = validations
 
     @classmethod
-    def initialize(cls, params_validation, **kwargs):
-        decisive_criterion = params_validation.pop("decisive_criterion")
-        validations = {}
-        for key, scenario in params_validation.items():
-            validations[key] = initialize_validation(scenario, **kwargs)
-        return cls(decisive_criterion, validations)
+    def initialize(cls, params, **kwargs):
+        decisive_criterion = params.pop("decisive_criterion")
+        named = {key: initialize_validation(scenario, **kwargs)
+                 for key, scenario in params.items()}
+        return cls(decisive_criterion, named)
 
     def validations(self, epoch):
-        acc = {}
-        for key, val in self.vals.items():
-            if val.should_validate(epoch):
-                acc[key] = val
-        return acc.items()
+        return [(key, val) for key, val in self.vals.items()
+                if val.should_validate(epoch)]
 
     def __repr__(self):
         inner = "".join("%s: %s\n" % (x, y) for x, y in self.vals.items())

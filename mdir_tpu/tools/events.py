@@ -1,12 +1,12 @@
 """Typed event pipeline: streamers (live) + per-epoch sinks.
 
-Parity with ``mdir/tools/eventprocessor.py``: EventBroker fans typed events
-(``scalar/loss|score|time``, ``weight/param|grad``, ``blob``) out to
-streamers and accumulates rows per epoch; ``close_epoch`` aggregates and
-feeds sinks (MetadataKeeper with avg/sum metric series, best-epoch logic and
-coverage ``errors()``; Tensorboard when available; HtmlReport). Blobs are
-written under ``<dataroot>/blobs``. The full event history is part of the
-training checkpoint state so reports survive resume.
+Same observable contract as ``mdir/tools/eventprocessor.py`` (event dtypes
+``scalar/loss|score|time``, ``weight/param|grad``, ``blob``; metadata keys
+``<key>:<subkey>_avg.4`` / ``_sum.1``; aggregate schema; blob file naming;
+checkpointable history) but an independent structure: metric curves are
+``_Series`` objects that own their reduction and best-epoch logic, blob file
+IO lives in a ``BlobVault``, and per-epoch aggregation is a columnar
+(zip-over-rows) pass in ``EpochLog`` rather than incremental accumulation.
 """
 import abc
 import pickle
@@ -16,11 +16,10 @@ from pathlib import Path
 
 import numpy as np
 
-# Valid dtypes:
-# - scalar/loss, scalar/score (curve + hist aggregation: avg)
-# - scalar/time (distribution, aggregation: sum)
-# - weight/param, weight/grad (histogram only)
-# - blob (image:rgb/rgba/gray, response, vector)
+SCALAR_DTYPES = {"scalar/loss", "scalar/score", "scalar/time"}
+WEIGHT_DTYPES = {"weight/param", "weight/grad"}
+EVENT_DTYPES = SCALAR_DTYPES | WEIGHT_DTYPES | {"blob"}
+HISTOGRAM_BINS = 200
 
 
 class EventSink(abc.ABC):
@@ -40,193 +39,225 @@ class EventStreamer(abc.ABC):
         pass
 
 
+def _histogram(values):
+    """Bucket raw weight values into (bin centers, counts)."""
+    counts, edges = np.histogram(np.asarray(values), bins=HISTOGRAM_BINS,
+                                 density=False)
+    return (edges[:-1] + edges[1:]) / 2, counts
+
+
+class _Series:
+    """One metric curve: the per-epoch reduced values of a key:subkey pair."""
+
+    def __init__(self, label, dtype, mode):
+        self.label = label  # public name incl. the aggregation suffix
+        self.dtype = dtype
+        self.mode = mode  # "avg" | "sum" | None (store raw)
+        self.epochs = []
+        self.values = []
+        self.density = []
+
+    def record(self, epoch, raw, density):
+        if self.mode is None:
+            value, density = np.array(raw), None
+        else:
+            arr = np.asarray(raw, dtype=np.float64)
+            arr = arr[~np.isnan(arr)]
+            value = float(arr.mean() if self.mode == "avg" else arr.sum())
+        self.epochs.append(epoch)
+        self.values.append(value)
+        self.density.append(density)
+
+    @property
+    def higher_is_better(self):
+        return self.dtype == "scalar/score"
+
+    def best_position(self):
+        pick = np.argmax if self.higher_is_better else np.argmin
+        return int(pick(self.values))
+
+    def last_is_best(self):
+        edge = max(self.values) if self.higher_is_better else min(self.values)
+        return edge == self.values[-1]
+
+
 class MetadataKeeper(EventSink):
-    """Per-epoch metric series with avg/sum aggregation and best tracking."""
+    """Registry of metric curves with best-epoch and coverage reporting."""
 
     aggregations = {"avg": "_avg.4", "sum": "_sum.1", None: ""}
 
     def __init__(self, dataroot=None):
         self.epochs = []
-        self.data = {}
-        self.keys = {}
+        self._series = {}  # (key, subkey) -> _Series
+        self._subkeys = {}  # key -> expected subkey set
 
     def load_epochs_data(self, epochs, consts):
-        assert not self.data
+        assert not self._series
         for i, data in enumerate(epochs):
             self.register_epoch_data(i, data, consts)
         return self
+
+    def _discover(self, key, item):
+        if key in self._subkeys:
+            assert self._subkeys[key] == item["data"].keys()
+            return
+        self._subkeys[key] = item["data"].keys()
+        if not item["dtype"].startswith("scalar/"):
+            return
+        for subkey, sample in item["data"].items():
+            if isinstance(sample, (list, np.ndarray)):
+                mode = "avg" if item["dtype"] != "scalar/time" else "sum"
+            else:
+                mode = None
+            label = key + ":" + subkey + self.aggregations[mode]
+            self._series[key, subkey] = _Series(label, item["dtype"], mode)
 
     def register_epoch_data(self, epoch, data, consts):
         assert epoch >= 0
         self.epochs.append(epoch)
         for key, item in data.items():
-            if key in self.keys:
-                assert self.keys[key] == item["data"].keys()
+            self._discover(key, item)
+        for (key, subkey), series in self._series.items():
+            if key not in data:
                 continue
-            self.keys[key] = item["data"].keys()
-            if item["dtype"].startswith("scalar/"):
-                for subkey, subitem in item["data"].items():
-                    if not isinstance(subitem, (list, np.ndarray)):
-                        aggr = None
-                    else:
-                        aggr = "avg" if item["dtype"] in {"scalar/loss", "scalar/score"} else "sum"
-                    new_key = key + ":" + subkey + self.aggregations[aggr]
-                    self.data[key, subkey] = {
-                        "iteration_density": [],
-                        "dtype": item["dtype"],
-                        "aggr": aggr,
-                        "key": new_key,
-                        "epochs": [],
-                        "data": [],
-                    }
+            row = data[key]
+            density = None
+            if row["relative_iteration"] is not None:
+                density = len(row["relative_iteration"]) / row["epoch_size"]
+            series.record(epoch, row["data"][subkey], density)
 
-        for key, item in self.data.items():
-            if key[0] not in data:
-                continue
-            value = np.array(data[key[0]]["data"][key[1]])
-            iteration_density = None
-            if item["aggr"] is not None:
-                value = value[~np.isnan(value)]
-                value = {"avg": np.mean, "sum": np.sum}[item["aggr"]](value)
-                if data[key[0]]["relative_iteration"] is not None:
-                    iteration_density = (len(data[key[0]]["relative_iteration"])
-                                         / data[key[0]]["epoch_size"])
-            item["iteration_density"].append(iteration_density)
-            item["epochs"].append(epoch)
-            item["data"].append(value)
-
-    def metric(self, data_key, item_key):
-        return self.data[data_key, item_key]["data"]
-
-    def metadata(self):
-        return {y["key"]: y["data"] for y in self.data.values()
-                if y["dtype"] in {"scalar/loss", "scalar/score"}}
-
-    def is_last_best(self, key):
+    def _lookup(self, key):
         if isinstance(key, str):
             key = tuple(key.split(":"))
         assert isinstance(key, tuple), key
+        return key, self._series.get(key)
+
+    def metric(self, data_key, item_key):
+        return self._series[data_key, item_key].values
+
+    def metadata(self):
+        return {s.label: s.values for s in self._series.values()
+                if s.dtype in {"scalar/loss", "scalar/score"}}
+
+    def is_last_best(self, key):
+        key, series = self._lookup(key)
         if key == ("epoch",):
             return True
-        if key not in self.data or self.data[key]["epochs"][-1] != self.epochs[-1]:
+        if series is None or series.epochs[-1] != self.epochs[-1]:
             return False
-        if self.data[key]["dtype"] == "scalar/score":
-            return max(self.data[key]["data"]) == self.data[key]["data"][-1]
-        return min(self.data[key]["data"]) == self.data[key]["data"][-1]
+        return series.last_is_best()
 
     def best_epoch(self, key):
-        if isinstance(key, str):
-            key = tuple(key.split(":"))
-        assert isinstance(key, tuple)
+        key, series = self._lookup(key)
         if key == ("epoch",):
             return {"index": self.epochs[-1], "metric_avg.3": self.epochs[-1],
                     "key": "epoch"}
-        if key not in self.data:
+        if series is None:
             return None
-        if self.data[key]["dtype"] == "scalar/score":
-            index = int(np.argmax(self.data[key]["data"]))
-        else:
-            index = int(np.argmin(self.data[key]["data"]))
-        return {"index": self.data[key]["epochs"][index],
-                "metric_avg.3": self.data[key]["data"][index],
-                "key": self.data[key]["key"]}
+        pos = series.best_position()
+        return {"index": series.epochs[pos], "metric_avg.3": series.values[pos],
+                "key": series.label}
 
     def errors(self):
-        errors = []
+        report = []
         if self.epochs != list(range(len(self.epochs))):
-            errors.append({"message": "Non-standard epoch sequence used",
+            report.append({"message": "Non-standard epoch sequence used",
                            "data": self.epochs})
-        density = {"%s@epoch_%s" % (x["key"], z): y
-                   for x in self.data.values()
-                   for y, z in zip(x["iteration_density"], x["epochs"])
-                   if y != 1 and y is not None}
-        if density:
-            errors.append({"message": "Some keys have incomplete iteration coverage",
-                           "data": density})
-        coverage = {x["key"]: x["epochs"] for x in self.data.values()
-                    if x["epochs"] != self.epochs}
-        if coverage:
-            errors.append({"message": "Some keys have incomplete epoch coverage",
-                           "data": coverage})
-        return errors
+        partial = {}
+        for series in self._series.values():
+            for epoch, density in zip(series.epochs, series.density):
+                if density is not None and density != 1:
+                    partial["%s@epoch_%s" % (series.label, epoch)] = density
+        if partial:
+            report.append({"message":
+                           "Some keys have incomplete iteration coverage",
+                           "data": partial})
+        gaps = {s.label: s.epochs for s in self._series.values()
+                if s.epochs != self.epochs}
+        if gaps:
+            report.append({"message": "Some keys have incomplete epoch coverage",
+                           "data": gaps})
+        return report
 
 
-class EpochEventAccumulator(EventStreamer):
-    """Accumulate one epoch's rows; blobs to files, weights to histograms."""
+class BlobVault:
+    """File storage for blob payloads under ``<dataroot>/blobs``.
+
+    ``store`` mutates each ``{subkey: {"dtype", "data"}}`` entry in place,
+    replacing ``data`` with the written ``path`` (or ``None`` when no
+    dataroot is configured).
+    """
 
     folder_name = "blobs"
-    histogram_bins = 200
-    dtypes = {"scalar/loss", "scalar/score", "scalar/time", "weight/param",
-              "weight/grad", "blob"}
     suffixes = {"image:rgb": "png", "image:rgba": "png", "image:gray": "png",
                 "response": "tiff", "vector": "pkl"}
 
     def __init__(self, dataroot):
-        self.datapath = (Path(dataroot) / self.folder_name) \
-            if dataroot is not None else None
-        self.epoch = None
-        self.accumulator = []
-        self.datapath_created = False
+        self.root = Path(dataroot) / self.folder_name if dataroot else None
+        self._ready = False
+
+    def store(self, key, payload, tag):
+        if self.root is None:
+            for entry in payload.values():
+                entry.pop("data", None)
+                entry["path"] = None
+            return payload
+        if not self._ready:
+            self.root.mkdir(parents=True, exist_ok=True)
+            self._ready = True
+        for subkey, entry in payload.items():
+            suffix = self.suffixes[entry["dtype"]]
+            fname = "%s:%s:%s.%s" % (key.replace("/", "_"),
+                                     subkey.replace("/", "_"), tag, suffix)
+            path = self.root / fname
+            self._encode(entry.pop("data"), path, suffix)
+            entry["path"] = str(path)
+        return payload
 
     @staticmethod
-    def _store_single_blob(img, path, suffix):
-        img = np.asarray(img)
-        if img.ndim == 3 and img.shape[-1] == 1:
-            img = img[..., 0]
-        with path.open("wb") as handle:
-            if suffix == "png":
-                from PIL import Image
+    def _encode(blob, path, suffix):
+        blob = np.asarray(blob)
+        if blob.ndim == 3 and blob.shape[-1] == 1:
+            blob = blob[..., 0]
+        if suffix == "pkl":
+            with path.open("wb") as handle:
+                pickle.dump(blob, handle)
+            return
+        from PIL import Image
 
-                if img.dtype in (np.float32, np.float64):
-                    img = img * 255
-                if img.dtype != np.uint8:
-                    img = np.clip(img, 0, 255).astype(np.uint8)
-                assert img.ndim in {2, 3}, img.shape
-                Image.fromarray(img).save(handle, format="PNG")
-            elif suffix == "tiff":
-                from PIL import Image
+        if suffix == "png":
+            if blob.dtype in (np.float32, np.float64):
+                blob = blob * 255
+            if blob.dtype != np.uint8:
+                blob = np.clip(blob, 0, 255).astype(np.uint8)
+            assert blob.ndim in {2, 3}, blob.shape
+            Image.fromarray(blob).save(str(path), format="PNG")
+        else:
+            assert blob.ndim == 2, blob.shape
+            Image.fromarray(blob).save(str(path), format="TIFF")
 
-                assert img.ndim == 2, img.shape
-                Image.fromarray(img).save(handle, format="TIFF")
-            else:
-                pickle.dump(img, handle)
-        return str(path)
 
-    def _store_blob(self, fname_piece, key, data):
-        if self.datapath is None:
-            for value in data.values():
-                value.pop("data", None)
-                value["path"] = None
-            return data
-        if not self.datapath_created:
-            self.datapath.mkdir(parents=True, exist_ok=True)
-            self.datapath_created = True
-        for subkey, value in data.items():
-            suffix = self.suffixes[value["dtype"]]
-            fname = "%s:%s:%s.%s" % (key.replace("/", "_"),
-                                     subkey.replace("/", "_"), fname_piece, suffix)
-            value["path"] = self._store_single_blob(
-                value.pop("data"), self.datapath / fname, suffix)
-        return data
+class EpochLog(EventStreamer):
+    """Collect one epoch of rows; ``aggregate`` merges them columnarly."""
 
-    def _generate_hist(self, data):
-        for key, value in data.items():
-            value = np.asarray(value)
-            hist = np.histogram(value, bins=self.histogram_bins, density=False)
-            data[key] = ((hist[1][:-1] + hist[1][1:]) / 2, hist[0])
-        return data
+    def __init__(self, vault):
+        self.vault = vault
+        self.epoch = None
+        self.rows = []
 
     def add_row(self, epoch, timestamp, relative_iteration, epoch_size, key,
                 data, dtype):
         assert epoch >= 0
         assert isinstance(data, dict), type(data)
-        assert dtype in self.dtypes, dtype
+        assert dtype in EVENT_DTYPES, dtype
 
         if dtype == "blob":
-            rel = "null" if relative_iteration is None else relative_iteration
-            data = self._store_blob("%s:%s" % (epoch, rel), key, data)
-        elif dtype.startswith("weight/"):
-            data = self._generate_hist(data)
+            tag = "%s:%s" % (epoch, "null" if relative_iteration is None
+                             else relative_iteration)
+            data = self.vault.store(key, data, tag)
+        elif dtype in WEIGHT_DTYPES:
+            data = {subkey: _histogram(values)
+                    for subkey, values in data.items()}
 
         if self.epoch is None:
             self.epoch = epoch
@@ -234,64 +265,65 @@ class EpochEventAccumulator(EventStreamer):
             warnings.warn("inconsistent epoch (%s != %s)" % (epoch, self.epoch))
             self.epoch = "error"
 
-        self.accumulator.append({
+        self.rows.append({
             "timestamp": timestamp, "relative_iteration": relative_iteration,
             "epoch_size": epoch_size, "key": key, "data": data, "dtype": dtype})
 
     def aggregate(self):
-        aggregated = {}
-        for row in self.accumulator:
+        singles, streams = {}, {}
+        for row in self.rows:
             if row["relative_iteration"] is None:
-                assert row["key"] not in aggregated
-                aggregated[row["key"]] = row
-            elif row["key"] not in aggregated:
-                data = {x: [y] for x, y in row["data"].items()}
-                aggregated[row["key"]] = {
-                    "dtype": row["dtype"], "epoch_size": row["epoch_size"],
-                    "data": data,
-                    "relative_iteration": [row["relative_iteration"]],
-                    "timestamp": [row["timestamp"]]}
+                assert row["key"] not in singles
+                singles[row["key"]] = row
             else:
-                agg = aggregated[row["key"]]
-                assert agg["dtype"] == row["dtype"]
-                assert agg["epoch_size"] == row["epoch_size"]
-                assert agg["data"].keys() == row["data"].keys()
-                for key, value in row["data"].items():
-                    agg["data"][key].append(value)
-                agg["relative_iteration"].append(row["relative_iteration"])
-                agg["timestamp"].append(row["timestamp"])
+                streams.setdefault(row["key"], []).append(row)
 
-        for item in aggregated.values():
-            if item["relative_iteration"] is None:
-                continue
-            if item["dtype"].startswith("scalar/"):
-                for subkey, subitem in item["data"].items():
-                    item["data"][subkey] = np.array(subitem)
-            item["relative_iteration"] = np.array(item["relative_iteration"])
-            item["timestamp"] = np.array(item["timestamp"])
-        return aggregated
+        merged = {}
+        for key, rows in streams.items():
+            head = rows[0]
+            subkeys = head["data"].keys()
+            for row in rows[1:]:
+                assert row["dtype"] == head["dtype"]
+                assert row["epoch_size"] == head["epoch_size"]
+                assert row["data"].keys() == subkeys
+            scalar = head["dtype"].startswith("scalar/")
+            columns = {}
+            for subkey in subkeys:
+                column = [row["data"][subkey] for row in rows]
+                columns[subkey] = np.array(column) if scalar else column
+            merged[key] = {
+                "dtype": head["dtype"],
+                "epoch_size": head["epoch_size"],
+                "data": columns,
+                "relative_iteration":
+                    np.array([row["relative_iteration"] for row in rows]),
+                "timestamp": np.array([row["timestamp"] for row in rows]),
+            }
+
+        overlap = singles.keys() & merged.keys()
+        assert not overlap, overlap
+        merged.update(singles)
+        return merged
 
 
-class ConstEventAccumulator(EpochEventAccumulator):
+class ConstLog:
     """Epoch-independent constants (network graph blob etc.), deduplicated."""
 
-    def __init__(self, dataroot, consts):
-        super().__init__(dataroot=dataroot)
+    def __init__(self, vault, consts):
+        self.vault = vault
         self.consts = consts
 
     def add_const(self, key, data, dtype):
-        assert dtype in self.dtypes, dtype
-        if dtype == "blob":
-            if key in self.consts:
-                assert self.consts[key]["dtype"] == dtype
-                return
-            data = self._store_blob("const", key, data)
-        elif dtype.startswith("weight/"):
-            data = self._generate_hist(data)
-        const = {"dtype": dtype, "data": data}
+        assert dtype in EVENT_DTYPES, dtype
         if key in self.consts:
+            assert self.consts[key]["dtype"] == dtype
             return
-        self.consts[key] = const
+        if dtype == "blob":
+            data = self.vault.store(key, data, "const")
+        elif dtype in WEIGHT_DTYPES:
+            data = {subkey: _histogram(values)
+                    for subkey, values in data.items()}
+        self.consts[key] = {"dtype": dtype, "data": data}
 
 
 class DebugPrinter(EventStreamer):
@@ -390,9 +422,9 @@ class EventBroker:
         self.params = {"processors": processors, "dataroot": dataroot}
         self.data = data
 
-        self.epoch_accumulator = EpochEventAccumulator(dataroot=dataroot)
-        self.const_accumulator = ConstEventAccumulator(dataroot=dataroot,
-                                                       consts=consts)
+        vault = BlobVault(dataroot)
+        self.epoch_log = EpochLog(vault)
+        self.const_log = ConstLog(vault, consts)
         self.metadata = MetadataKeeper(dataroot=dataroot).load_epochs_data(
             data, consts)
         self.streamers = []
@@ -425,29 +457,27 @@ class EventBroker:
         for streamer in self.streamers:
             streamer.add_row(**params)
         if epoch is None:
-            self.const_accumulator.add_const(key=key, data=data, dtype=dtype)
+            self.const_log.add_const(key=key, data=data, dtype=dtype)
         else:
-            self.epoch_accumulator.add_row(**params)
+            self.epoch_log.add_row(**params)
 
     def close_epoch(self):
-        epoch = self.epoch_accumulator.epoch
+        epoch = self.epoch_log.epoch
         assert len(self.data) == epoch, "%s != %s" % (len(self.data), epoch)
-        epoch_data = self.epoch_accumulator.aggregate()
+        epoch_data = self.epoch_log.aggregate()
 
         self.metadata.register_epoch_data(epoch, epoch_data,
-                                          self.const_accumulator.consts)
+                                          self.const_log.consts)
         for sink in self.sinks:
-            sink.register_epoch_data(epoch, epoch_data,
-                                     self.const_accumulator.consts)
+            sink.register_epoch_data(epoch, epoch_data, self.const_log.consts)
         self.data.append(epoch_data)
-        self.epoch_accumulator = EpochEventAccumulator(
-            dataroot=self.params["dataroot"])
+        self.epoch_log = EpochLog(self.epoch_log.vault)
 
     def state_dict(self):
         return {
             "name": self.__class__.__name__,
             "params": self.params,
-            "consts": self.const_accumulator.consts,
+            "consts": self.const_log.consts,
             "data": self.data,
         }
 
