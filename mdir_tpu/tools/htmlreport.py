@@ -134,6 +134,8 @@ class HtmlReport(EventSink):
                 continue
             out.append("<h3>%s</h3>" % html.escape(key))
             for subkey, value in item["data"].items():
+                if isinstance(value, list):  # per-iteration blobs: show latest
+                    value = value[-1]
                 path = value.get("path")
                 if path:
                     out.append("<div><small>%s</small><br>%s</div>"
