@@ -93,6 +93,7 @@ class SupervisedEpoch:
 
         (loss, aux), grads = self._train_step.gradients(
             params, batch, valid, targets, rng)
+        output = aux.pop("_output", None)
 
         # batch_average vs criterion-reduction reconciliation
         loss = float(np.asarray(loss))
@@ -123,11 +124,12 @@ class SupervisedEpoch:
         if self.batch_average is not None and not self.batch_average:
             cumloss /= batch_size
 
-        last_image = batch_images[-1] if isinstance(batch_images, list) \
-            else batch_images[-1:]
-        return {"total": cumloss}, last_image, None, (
-            batch_targets[-1] if isinstance(batch_targets, list)
-            else batch_targets)
+        # output stays a lazy device array; it is sliced/transferred only on
+        # the (rare) sample-logging iterations
+        last_image = batch_images[-1]
+        if isinstance(last_image, list):
+            output = None
+        return {"total": cumloss}, last_image, output, batch_targets[-1]
 
     def _log_parameter_weights(self, network, logger):
         for train_data in network.train_data():
@@ -192,12 +194,17 @@ class SupervisedEpoch:
             if (i == len(train_loader) - 1
                     and (self.epoch + 1) % self.LOG_TRAINDATA_SAMPLE_EVERY == 0) \
                     or (i == 0 and self.epoch == 0):
-                _losses, image, _output, _target = step_data
+                _losses, image, output, target = step_data
                 loggeri = lambda *x: logger(i, len(train_loader), *x)
-                try:
-                    self._log_traindata_sample(image, loggeri, "input")
-                except Exception:
-                    pass
+                self._log_traindata_sample(image, loggeri, "input")
+                # image-to-image nets only: a descriptor output has fewer
+                # dims than its input and is skipped, like the reference
+                # (mdir/learning/epoch_iteration.py:153-155)
+                if not isinstance(image, list) and output is not None \
+                        and output.ndim == np.asarray(image).ndim + 1:
+                    self._log_traindata_sample(np.asarray(output)[-1],
+                                               loggeri, "output")
+                    self._log_traindata_sample(target, loggeri, "target")
 
             yield step_data
 

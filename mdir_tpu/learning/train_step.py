@@ -5,13 +5,18 @@ optimizer step per batch — ``epoch_iteration.py:46-75``) is mathematically a
 sum of per-tuple losses followed by one step; on TPU we compute the whole
 batch in one compiled program (images padded into a static bucket with exact
 valid-extent masking) — identical optimizer-step semantics, MXU-sized
-batches. ``jax.checkpoint`` rematerialization is applied to the model apply
-to keep activation memory bounded for large buckets.
+batches. For large buckets (batch element count ≥
+``MDIR_TPU_REMAT_MIN_ELEMENTS``, default 2^23) the model apply is wrapped in
+``jax.checkpoint`` so activation memory stays bounded at mining-tuple sizes;
+small batches keep the full-speed non-remat path. The threshold is read at
+trace time from the static batch shape, so each compiled bucket picks its
+own policy.
 
 Supports SingleNetwork/CirNetwork (single param tree) and SequentialNetwork
 (per-subnet trees, used with optimizer alternation).
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -20,21 +25,31 @@ import numpy as np
 from ..models import _accepts_train
 
 
+def _remat_min_elements():
+    return int(os.environ.get("MDIR_TPU_REMAT_MIN_ELEMENTS", str(2 ** 23)))
+
+
 def _merge_params(variables, params):
     return {**variables, "params": params}
 
 
 def _apply_model(model, params, batch, valid_hw, train, rng):
     """Pure apply of one Model with substituted params; returns (out, new_bs)."""
-    variables = _merge_params(model.variables, params)
-    mutable = ["batch_stats"] if (train and "batch_stats" in variables) else False
-    rngs = {"dropout": rng} if rng is not None else None
-    if _accepts_train(model.module):
-        out = model.module.apply(variables, batch, train=train, rngs=rngs,
-                                 mutable=mutable)
-    else:
-        out = model.module.apply(variables, batch, valid_hw=valid_hw,
-                                 mutable=mutable)
+    mutable = ["batch_stats"] if (train and "batch_stats" in model.variables) \
+        else False
+
+    def run(params, batch, valid_hw, rng):
+        variables = _merge_params(model.variables, params)
+        rngs = {"dropout": rng} if rng is not None else None
+        if _accepts_train(model.module):
+            return model.module.apply(variables, batch, train=train,
+                                      rngs=rngs, mutable=mutable)
+        return model.module.apply(variables, batch, valid_hw=valid_hw,
+                                  mutable=mutable)
+
+    if batch.size >= _remat_min_elements():
+        run = jax.checkpoint(run)
+    out = run(params, batch, valid_hw, rng)
     if mutable:
         return out[0], out[1].get("batch_stats")
     return out, None
@@ -83,6 +98,7 @@ class TrainStep:
                 if getattr(models[sequence[-1]], "is_descriptor_model", False):
                     out = out.T
                 loss = criterion(out, targets)
+                aux["_output"] = out
                 return loss, aux
         else:
             model = network.model
@@ -93,7 +109,9 @@ class TrainStep:
                 if getattr(model, "is_descriptor_model", False):
                     out = out.T  # criterion expects D x N columns
                 loss = criterion(out, targets)
-                return loss, {"net": new_bs} if new_bs is not None else {}
+                aux = {"net": new_bs} if new_bs is not None else {}
+                aux["_output"] = out
+                return loss, aux
 
         @jax.jit
         def value_and_grad(params, batch, valid_hw, targets, rng):

@@ -146,3 +146,21 @@ def test_train_loss_decreases(train_root, tmp_path):
     metadata, = train(copy.deepcopy(params), ())
     losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_traindata_samples_logged(train_root, tmp_path):
+    """Input, output AND target sample blobs are saved (reference logs all
+    three every LOG_TRAINDATA_SAMPLE_EVERY epochs and at epoch 0 step 0 —
+    mdir/learning/epoch_iteration.py:149-158)."""
+    from mdir_tpu.stages.train import train
+
+    params = _train_params(tmp_path, epochs=1)
+    params["learning"]["checkpoints"]["directory"] = str(tmp_path / "exp4")
+    params["data"]["train"]["dataset"]["dataset"] = str(train_root / "tuples.tsv")
+    params["data"]["train"]["dataset"]["image_dir"] = str(train_root / "ims")
+    train(copy.deepcopy(params), ())
+
+    blobs = os.listdir(tmp_path / "exp4" / "epochs" / "blobs")
+    for label in ("input", "output", "target"):
+        matches = [b for b in blobs if b.startswith("train_data_%s" % label)]
+        assert matches, (label, blobs)
