@@ -187,6 +187,8 @@ class TuplesDataset:
     """(q, p, n1..nN) training tuples over retrieval-SfM-120k with per-epoch
     hard-negative re-mining against the current network."""
 
+    item_transform = None  # optional __getitem__-only transform override
+
     def __init__(self, name, mode, imsize=None, nnum=5, qsize=2000,
                  poolsize=20000, transform=None, loader=pil_loader,
                  dataset_pkl=None, ims_root=None):
@@ -242,8 +244,12 @@ class TuplesDataset:
         output += [self.loader(self.images[n]) for n in self.nidxs[index]]
         if self.imsize is not None:
             output = [imresize(img, self.imsize) for img in output]
-        if self.transform is not None:
-            output = [self.transform(img) for img in output]
+        # item_transform overrides the host chain for training items only
+        # (the device-preprocess path ships raw uint8; mining extraction
+        # keeps self.transform so chain detection sees the real chain)
+        transform = self.item_transform or self.transform
+        if transform is not None:
+            output = [transform(img) for img in output]
         target = np.array([-1, 1] + [0] * len(self.nidxs[index]), np.float32)
         return output, target
 

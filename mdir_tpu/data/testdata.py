@@ -14,6 +14,17 @@ import tarfile
 import zipfile
 from urllib.request import urlretrieve
 
+from ..tools.utils import staged_artifact
+
+
+def _fetch(url, dst):
+    """urlretrieve with MDIR_TPU_ARTIFACTS staging taking precedence."""
+    staged = staged_artifact(url)
+    if staged is not None:
+        shutil.copyfile(staged, dst)
+        return dst
+    return urlretrieve(url, dst)
+
 DATASETS = ["oxford5k", "paris6k", "roxford5k", "rparis6k", "247tokyo1k"]
 
 _IMAGE_SOURCES = {
@@ -99,7 +110,7 @@ def _download_one(datasets_dir, dataset):
                 src = "%s/%s" % (src_dir, dl_file)
                 dst = os.path.join(dst_dir, dl_file)
                 print(">> Downloading dataset %s archive %s..." % (dataset, dl_file))
-                urlretrieve(src, dst)
+                _fetch(src, dst)
                 print(">> Extracting dataset %s archive %s..." % (dataset, dl_file))
                 _extract_flat(dst, dst_dir)
                 os.remove(dst)
@@ -122,7 +133,7 @@ def _download_one(datasets_dir, dataset):
     if not os.path.exists(gnd_dst):
         print(">> Downloading dataset %s ground truth file..." % dataset)
         try:
-            urlretrieve("%s/gnd_%s.pkl" % (gnd_src, dataset), gnd_dst)
+            _fetch("%s/gnd_%s.pkl" % (gnd_src, dataset), gnd_dst)
         except Exception as exc:  # offline environments
             sys.stderr.write(
                 ">> Could not download gnd for %s (%s); place it at %s\n"
@@ -138,7 +149,7 @@ def download_train(data_dir):
         for dl_file in ["ims.tar.gz"]:
             dst = os.path.join(dst_dir, dl_file)
             print(">> Downloading training images archive %s..." % dl_file)
-            urlretrieve("%s/%s" % (src_root, dl_file), dst)
+            _fetch("%s/%s" % (src_root, dl_file), dst)
             with tarfile.open(dst, "r:*") as tf:
                 tf.extractall(dst_dir)
             os.remove(dst)
@@ -150,7 +161,7 @@ def download_train(data_dir):
         if not os.path.exists(dst):
             print(">> Downloading db file %s..." % db)
             try:
-                urlretrieve(
+                _fetch(
                     "http://cmp.felk.cvut.cz/cnnimageretrieval/data/train/dbs/" + db,
                     dst)
             except Exception as exc:

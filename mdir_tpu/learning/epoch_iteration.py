@@ -50,6 +50,7 @@ class SupervisedEpoch:
         data_params = get_dataset_params(params_data[data_key], net_defaults)
         data_loader = initialize_dataset_loader(
             data, "train", copy.deepcopy(data_params), {"shuffle": True})
+        cls._enable_device_preprocess(data_loader)
 
         criterion_section = params_epoch.pop("criterion")
         if criterion_section == "default":
@@ -62,6 +63,35 @@ class SupervisedEpoch:
 
         return cls(data_loader=data_loader, criterion=criterion,
                    mean_std=data_params["mean_std"], **params_epoch)
+
+    @staticmethod
+    def _enable_device_preprocess(data_loader):
+        """Run a supported photometric train chain (CLAHE etc.) on device.
+
+        When the tuple dataset's host transform lowers to a DeviceChain, the
+        training items ship as raw uint8 (4x less ingress, zero per-item host
+        CPU on this 1-core host — the reference instead spends 6 DataLoader
+        workers on it) and the chain fuses into the train-step program.
+        Mining extraction keeps ``dataset.transform`` and fuses independently
+        (parallel/extract.py). Label-target tuple datasets only: image
+        targets would need the chain too.
+        """
+        import os
+
+        from ..data.datasets import TuplesDataset
+
+        if os.environ.get("MDIR_TPU_DEVICE_PREPROCESS", "1") == "0":
+            return
+        dataset = data_loader.dataset
+        if not isinstance(dataset, TuplesDataset):
+            return
+        from ..ops.preprocess import RawChainInput, chain_from_transform
+
+        chain = chain_from_transform(dataset.transform)
+        if chain is None:
+            return
+        dataset.item_transform = RawChainInput(chain)
+        dataset.device_chain = chain
 
     def steps(self, epoch):
         self.epoch = epoch
@@ -77,11 +107,23 @@ class SupervisedEpoch:
                 from ..parallel.mesh import make_mesh
 
                 mesh = make_mesh(self.parallel["data"])
-            self._train_step = TrainStep(network, self.criterion,
-                                         self.batch_average, mesh=mesh)
+            self._train_step = TrainStep(
+                network, self.criterion, self.batch_average, mesh=mesh,
+                device_chain=getattr(self.data_loader.dataset,
+                                     "device_chain", None))
 
         batch, valid, targets, batch_size = prepare_batch(batch_images,
                                                           batch_targets)
+        clahe_aux = None
+        chain = self._train_step.device_chain
+        if chain is not None and chain.clahe_params is not None:
+            from ..ops.clahe import clahe_bucket_aux
+
+            clip, grid = chain.clahe_params
+            shapes = [tuple(int(x) for x in v) for v in valid] \
+                if valid is not None else [batch.shape[1:3]] * batch.shape[0]
+            clahe_aux = clahe_bucket_aux(shapes, batch.shape[1:3],
+                                         clip_limit=clip, grid=grid)
         self._rng, rng = jax.random.split(self._rng)
 
         if isinstance(network, SequentialNetwork):
@@ -92,7 +134,7 @@ class SupervisedEpoch:
             params = network.model.params
 
         (loss, aux), grads = self._train_step.gradients(
-            params, batch, valid, targets, rng)
+            params, batch, valid, targets, rng, clahe_aux=clahe_aux)
         output = aux.pop("_output", None)
 
         # batch_average vs criterion-reduction reconciliation
@@ -138,14 +180,20 @@ class SupervisedEpoch:
     def _log_traindata_sample(self, image, logger, label):
         if not isinstance(image, list):
             image = [image]
-        mean = np.asarray(self.mean_std[0], np.float32)
-        std = np.asarray(self.mean_std[1], np.float32)
         dbg = {}
         for j, img in enumerate(image):
             img = np.asarray(img)
             if img.ndim == 4:
                 img = img[0]
             nchans = img.shape[-1]
+            if img.dtype == np.uint8:
+                # raw device-chain ingress: already displayable
+                img = img.astype(np.float32) / 255.0
+                mean = np.zeros(nchans, np.float32)
+                std = np.ones(nchans, np.float32)
+            else:
+                mean = np.asarray(self.mean_std[0], np.float32)
+                std = np.asarray(self.mean_std[1], np.float32)
             if nchans >= 3:
                 dbg["image%s.rgb" % j] = {
                     "dtype": "image:rgb",

@@ -64,12 +64,14 @@ class TrainStep:
     the tuple loaders use drop_last like the reference).
     """
 
-    def __init__(self, network, criterion, batch_average, mesh=None):
+    def __init__(self, network, criterion, batch_average, mesh=None,
+                 device_chain=None):
         self.network = network
         self.criterion = criterion
         self.batch_average = batch_average
         self.mean_reduction = criterion.reduction == "mean"
         self.mesh = mesh
+        self.device_chain = device_chain
         self._grad_fn = None
 
     def _build(self):
@@ -78,6 +80,22 @@ class TrainStep:
         network = self.network
         criterion = self.criterion
 
+        chain_fn = None
+        if self.device_chain is not None:
+            from ..ops.preprocess import make_bucketed_chain
+
+            chain_fn = make_bucketed_chain(self.device_chain)
+
+        def preprocess(batch, valid_hw, clahe_aux):
+            if chain_fn is None:
+                return batch
+            from ..models.trunks import apply_valid_mask
+
+            batch = chain_fn(batch, clahe_aux)
+            if valid_hw is not None:
+                batch = apply_valid_mask(batch, valid_hw)
+            return batch
+
         if isinstance(network, SequentialNetwork):
             models = {name: network.networks[name].model
                       for name in network.sequence}
@@ -85,9 +103,10 @@ class TrainStep:
             trainable = {name: not network.networks[name].frozen
                          for name in sequence}
 
-            def forward(params_by_net, batch, valid_hw, targets, rng):
+            def forward(params_by_net, batch, valid_hw, targets, rng,
+                        clahe_aux):
                 aux = {}
-                out = batch
+                out = preprocess(batch, valid_hw, clahe_aux)
                 for name in sequence:
                     model = models[name]
                     p = params_by_net.get(name, model.params)
@@ -103,7 +122,8 @@ class TrainStep:
         else:
             model = network.model
 
-            def forward(params, batch, valid_hw, targets, rng):
+            def forward(params, batch, valid_hw, targets, rng, clahe_aux):
+                batch = preprocess(batch, valid_hw, clahe_aux)
                 out, new_bs = _apply_model(model, params, batch, valid_hw,
                                            True, rng)
                 if getattr(model, "is_descriptor_model", False):
@@ -114,13 +134,14 @@ class TrainStep:
                 return loss, aux
 
         @jax.jit
-        def value_and_grad(params, batch, valid_hw, targets, rng):
+        def value_and_grad(params, batch, valid_hw, targets, rng, clahe_aux):
             return jax.value_and_grad(forward, has_aux=True)(
-                params, batch, valid_hw, targets, rng)
+                params, batch, valid_hw, targets, rng, clahe_aux)
 
         self._grad_fn = value_and_grad
 
-    def gradients(self, params, batch, valid_hw, targets, rng=None):
+    def gradients(self, params, batch, valid_hw, targets, rng=None,
+                  clahe_aux=None):
         if self._grad_fn is None:
             self._build()
         if self.mesh is not None:
@@ -136,7 +157,10 @@ class TrainStep:
             if valid_hw is not None:
                 valid_hw = jax.device_put(np.asarray(valid_hw), shard)
             targets = jax.device_put(np.asarray(targets), repl)
-        return self._grad_fn(params, batch, valid_hw, targets, rng)
+            if clahe_aux is not None:
+                clahe_aux = {k: jax.device_put(np.asarray(v), shard)
+                             for k, v in clahe_aux.items()}
+        return self._grad_fn(params, batch, valid_hw, targets, rng, clahe_aux)
 
 
 def pad_image_batch(images, multiple=32):
@@ -146,7 +170,8 @@ def pad_image_batch(images, multiple=32):
     round_up = lambda v: -(-v // multiple) * multiple
     bh, bw = round_up(max_h), round_up(max_w)
     channels = images[0].shape[-1]
-    batch = np.zeros((len(images), bh, bw, channels), np.float32)
+    dtype = np.uint8 if images[0].dtype == np.uint8 else np.float32
+    batch = np.zeros((len(images), bh, bw, channels), dtype)
     valid = np.zeros((len(images), 2), np.int32)
     for i, img in enumerate(images):
         batch[i, :img.shape[0], :img.shape[1]] = img

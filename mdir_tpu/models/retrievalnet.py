@@ -31,6 +31,21 @@ class GeMPool(nn.Module):
         return pool_ops.gem(x, p=p[0], eps=self.eps, mask=mask)
 
 
+class GeMPoolL2NPallas(nn.Module):
+    """Fused masked GeM + L2N (single pass over the feature map; Pallas on
+    TPU, jnp fallback elsewhere). Same param path pool/p as GeMPool, so
+    checkpoints interoperate."""
+    p_init: float = 3.0
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, valid_hw):
+        from ..ops.pooling_pallas import fused_gem_l2n
+
+        p = self.param("p", lambda key: jnp.full((1,), self.p_init))
+        return fused_gem_l2n(x, valid_hw, p[0], eps=self.eps)
+
+
 class ImageRetrievalNet(nn.Module):
     architecture: str = "resnet101"
     local_whitening: bool = False
@@ -39,6 +54,10 @@ class ImageRetrievalNet(nn.Module):
     whitening: bool = False
     frozen_bn: bool = True
     p_init: float = 3.0
+    # eval-path kernel choice: fuse masked GeM+L2N into one Pallas pass
+    # (extraction programs only — the kernel has no autodiff rule, so the
+    # training apply keeps the XLA composition; see parallel/extract.py)
+    pallas_pool: bool = False
 
     @property
     def out_channels(self):
@@ -49,8 +68,14 @@ class ImageRetrievalNet(nn.Module):
         return TOTAL_STRIDE[self.architecture]
 
     @nn.compact
-    def __call__(self, x, valid_hw=None):
-        """x: (N, H, W, C) -> (N, D) L2-normalized descriptors."""
+    def __call__(self, x, valid_hw=None, region_boxes=None):
+        """x: (N, H, W, C) -> (N, D) L2-normalized descriptors.
+
+        ``region_boxes`` (N, R, 4) int32 [y0, x0, bh, bw] enables the
+        batched RMAC/Rpool path: host-computed region grids over each
+        image's *valid feature extent* (ops/pooling.py::rmac_region_boxes +
+        models/trunks.py::trunk_valid_extent); zero-size boxes are padding.
+        """
         dim = OUTPUT_DIM[self.architecture]
 
         o, valid_hw = make_trunk(
@@ -66,10 +91,17 @@ class ImageRetrievalNet(nn.Module):
 
         # pool -> l2n (pooled vectors are (N, D))
         if self.regional:
-            o = self._regional_pool(o, dim)
+            assert region_boxes is not None or valid_hw is None, \
+                "bucketed Rpool needs region_boxes (see parallel/extract.py)"
+            o = self._regional_pool(o, dim, region_boxes)
+            o = pool_ops.l2n(o)
+        elif self.pallas_pool and self.pooling == "gem" \
+                and valid_hw is not None:
+            # fused pool+normalize: one pass over the feature map
+            o = GeMPoolL2NPallas(self.p_init, name="pool")(o, valid_hw)
         else:
-            o = self._global_pool(o, mask)
-        o = pool_ops.l2n(o)
+            o = self._global_pool(o, mask, region_boxes)
+            o = pool_ops.l2n(o)
 
         # whiten -> l2n
         if self.whitening:
@@ -78,7 +110,7 @@ class ImageRetrievalNet(nn.Module):
 
         return o
 
-    def _global_pool(self, o, mask):
+    def _global_pool(self, o, mask, region_boxes=None):
         if self.pooling == "gem":
             return GeMPool(self.p_init, name="pool")(o, mask=mask)
         if self.pooling == "mac":
@@ -86,26 +118,37 @@ class ImageRetrievalNet(nn.Module):
         if self.pooling == "spoc":
             return pool_ops.spoc(o, mask=mask)
         if self.pooling == "rmac":
-            assert mask is None, "rmac requires native-shape (exact-mode) input"
+            if region_boxes is not None:
+                return pool_ops.rmac_masked(o, region_boxes)
+            assert mask is None, \
+                "bucketed rmac needs region_boxes (see parallel/extract.py)"
             return pool_ops.rmac(o)
         raise ValueError("Unknown pooling %s" % self.pooling)
 
-    def _regional_pool(self, o, dim):
+    def _regional_pool(self, o, dim, region_boxes=None):
         """Rpool (cirtorch pooling.py:64-100): region vectors -> L2N ->
         regional whitening -> L2N -> sum -> (L2N applied by caller)."""
         if self.pooling == "gem":
             gem_pool = GeMPool(self.p_init, name="pool")
-            region_fn = lambda r: gem_pool(r)
+            region_fn = gem_pool
         elif self.pooling == "mac":
             region_fn = pool_ops.mac
         elif self.pooling == "spoc":
             region_fn = pool_ops.spoc
         else:
             raise ValueError("Unsupported regional pooling %s" % self.pooling)
-        vecs = pool_ops.roipool(o, region_fn)  # (N, R, D)
+        if region_boxes is not None:
+            vecs = pool_ops.region_vectors(
+                o, region_boxes, lambda f, m: region_fn(f, mask=m))
+        else:
+            vecs = pool_ops.roipool(o, lambda r: region_fn(r))  # (N, R, D)
         vecs = pool_ops.l2n(vecs)
         vecs = Dense(dim, name="pool_whiten")(vecs)
         vecs = pool_ops.l2n(vecs)
+        if region_boxes is not None:
+            # padded region slots must not contribute (the Dense bias makes
+            # them nonzero otherwise)
+            vecs = vecs * (region_boxes[..., 2] > 0)[..., None]
         return vecs.sum(axis=-2)
 
 

@@ -242,3 +242,40 @@ def make_trunk(architecture, frozen_bn=True, name=None):
         block, layers = RESNET_LAYERS[architecture]
         return ResNetFeatures(block, layers, frozen_bn, name=name)
     raise ValueError("Unsupported or unknown architecture: %s" % architecture)
+
+
+def trunk_valid_extent(architecture, hw):
+    """Host replay of the in-graph valid-extent arithmetic for one image.
+
+    Returns the feature-map extent the trunk's ``valid_hw`` propagation
+    produces for an input of true size ``hw`` — used by the batched
+    extractor to compute per-image RMAC/Rpool region grids on host
+    (parallel/extract.py) without running the trunk.
+    """
+    h, w = int(hw[0]), int(hw[1])
+
+    def step(v, k, s, p):
+        return (v + 2 * p - k) // s + 1
+
+    def run_spec(spec):
+        nonlocal h, w
+        for item in spec:
+            if item[0] == "conv":
+                _, _, _, k, s, p = item
+                h, w = step(h, k, s, p), step(w, k, s, p)
+            elif item[0] == "maxpool":
+                h, w = step(h, item[1], item[2], 0), step(w, item[1], item[2], 0)
+
+    if architecture == "alexnet":
+        run_spec(ALEXNET_SPEC)
+    elif architecture in VGG_CFGS:
+        run_spec(_vgg_spec(VGG_CFGS[architecture]))
+    elif architecture in RESNET_LAYERS:
+        h, w = step(h, 7, 2, 3), step(w, 7, 2, 3)
+        h, w = step(h, 3, 2, 1), step(w, 3, 2, 1)
+        for _ in range(3):  # layers 2-4 start with a stride-2 3x3 p1 conv
+            h, w = step(h, 3, 2, 1), step(w, 3, 2, 1)
+    else:
+        raise ValueError("Unsupported or unknown architecture: %s"
+                         % architecture)
+    return h, w

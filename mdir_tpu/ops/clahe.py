@@ -221,3 +221,159 @@ def clahe_channel_jax(chan, clip_limit=4.0, grid=(8, 8)):
     """Float [0,1] channel in/out (reference ``ChannelClahe.apply``)."""
     u8 = (chan * 255.0).astype(jnp.uint8)  # truncation, as in the reference
     return clahe_u8_jax(u8, clip_limit=clip_limit, grid=grid).astype(jnp.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (padded-batch) CLAHE with per-image valid extents
+# ---------------------------------------------------------------------------
+#
+# The production extraction path batches differently-sized images into one
+# padded bucket (parallel/extract.py). cv2's tile geometry depends on the
+# *true* image size, so the static-shape kernels above do not apply. Here the
+# cheap index math (reflect-101 padding indices, pixel->tile maps, per-image
+# tile scalars) is computed on host per image, and the pixel work runs on
+# device for the whole bucket: per-tile histograms as MXU one-hot
+# contractions (scan-chunked so the one-hot never materializes at full
+# resolution), cv2's clip/redistribute/cumsum LUT build with traced per-image
+# scalars, and the 4-neighbor LUT interpolation. Junk values in the padded
+# region never enter histograms (sentinel tiles) and the interpolated junk is
+# masked downstream in normalized space.
+
+def clahe_bucket_aux(shapes, bucket_hw, clip_limit=4.0, grid=(8, 8)):
+    """Host-side per-image aux arrays for ``clahe_u8_bucketed_jax``.
+
+    shapes: [(h, w)] per image; bucket_hw: padded (BH, BW) with
+    ``grid | bucket``. Returns a dict of stacked numpy arrays.
+    """
+    gh, gw = grid
+    bh, bw = bucket_hw
+    assert bh % gh == 0 and bw % gw == 0, (bucket_hw, grid)
+    n = len(shapes)
+    # cv2 may pad a grid-divisible dim by a full tile, so the padded extent
+    # can exceed the bucket by up to one tile along each axis
+    aux = {
+        "row_src": np.zeros((n, bh + gh), np.int32),
+        "col_src": np.zeros((n, bw + gw), np.int32),
+        "row_tile": np.full((n, bh + gh), gh, np.int32),
+        "col_tile": np.full((n, bw + gw), gw, np.int32),
+        "inv_th": np.zeros(n, np.float32),
+        "inv_tw": np.zeros(n, np.float32),
+        "clim": np.zeros(n, np.float32),
+        "scale": np.zeros(n, np.float32),
+    }
+
+    def axis_maps(size, tiles, any_pad):
+        # cv2 pads BOTH dims by ``tiles - size % tiles`` when either is
+        # non-divisible, so a divisible dim gains a full extra tile
+        padded = size if not any_pad else size + (tiles - size % tiles)
+        tile = padded // tiles
+        idx = np.arange(padded)
+        src = np.where(idx < size, idx, 2 * size - 2 - idx)
+        src = np.clip(src, 0, size - 1)  # degenerate tiny images
+        return padded, tile, src, np.minimum(idx // tile, tiles - 1)
+
+    for i, (h, w) in enumerate(shapes):
+        any_pad = bool(h % gh or w % gw)
+        ph, th, rsrc, rtile = axis_maps(h, gh, any_pad)
+        pw, tw, csrc, ctile = axis_maps(w, gw, any_pad)
+        aux["row_src"][i, :ph] = rsrc
+        aux["row_tile"][i, :ph] = rtile
+        aux["col_src"][i, :pw] = csrc
+        aux["col_tile"][i, :pw] = ctile
+        aux["inv_th"][i] = np.float32(1.0 / th)
+        aux["inv_tw"][i] = np.float32(1.0 / tw)
+        area = th * tw
+        aux["clim"][i] = np.float32(_clip_limit_int(clip_limit, area))
+        aux["scale"][i] = np.float32(255.0) / np.float32(area)
+    return aux
+
+
+def _hist_dynamic(padded, row_tile, col_tile, gh, gw, chunk=16):
+    """Per-tile histograms with dynamic tile boundaries: (gh, gw, 256).
+
+    One-hot contractions ride the MXU; scanning row chunks bounds the
+    transient one-hot to (chunk, BW, 256). Sentinel tiles (index gh/gw)
+    absorb the padded region and are dropped.
+    """
+    bh, bw = padded.shape
+    colhot = jax.nn.one_hot(col_tile, gw + 1, dtype=jnp.bfloat16)
+    rowhot = jax.nn.one_hot(row_tile, gh + 1, dtype=jnp.float32)
+    chunk = min(chunk, bh)
+    while bh % chunk:
+        chunk -= 1
+    vals_c = padded.reshape(bh // chunk, chunk, bw)
+    rowhot_c = rowhot.reshape(bh // chunk, chunk, gh + 1)
+
+    def body(acc, xs):
+        vals, rhot = xs
+        onehot = jax.nn.one_hot(vals, HIST_SIZE, dtype=jnp.bfloat16)
+        # exact: 0/1 products, f32 accumulation
+        per_col_tile = jnp.einsum("rwb,wt->rtb", onehot, colhot,
+                                  preferred_element_type=jnp.float32)
+        h = jnp.einsum("rtb,rg->gtb", per_col_tile, rhot,
+                       preferred_element_type=jnp.float32)
+        return acc + h, None
+
+    hist, _ = jax.lax.scan(
+        body, jnp.zeros((gh + 1, gw + 1, HIST_SIZE), jnp.float32),
+        (vals_c, rowhot_c))
+    return hist[:gh, :gw]
+
+
+def _luts_dynamic(hist, clim, scale):
+    """cv2 clip/redistribute/cumsum with traced per-image scalars; (T, 256)."""
+    clipped = jnp.sum(jnp.maximum(hist - clim, 0.0), axis=1)
+    hist = jnp.minimum(hist, clim)
+    batch = jnp.floor(clipped / HIST_SIZE)
+    residual = (clipped - batch * HIST_SIZE).astype(jnp.int32)
+    hist = hist + batch[:, None]
+    hist = hist + jax.vmap(_residual_mask)(residual)
+    cdf = jnp.cumsum(hist, axis=1)
+    return jnp.clip(jnp.round(cdf * scale), 0, 255)  # f32 u8-values
+
+
+def _interp_dynamic(vals, luts, inv_th, inv_tw, gh, gw):
+    """4-neighbor tile-LUT blend with traced tile sizes; f32 u8-values."""
+    bh, bw = vals.shape
+    tyf = jnp.arange(bh, dtype=jnp.float32) * inv_th - jnp.float32(0.5)
+    txf = jnp.arange(bw, dtype=jnp.float32) * inv_tw - jnp.float32(0.5)
+    ty1 = jnp.floor(tyf).astype(jnp.int32)
+    tx1 = jnp.floor(txf).astype(jnp.int32)
+    ya = (tyf - ty1)[:, None]
+    xa = (txf - tx1)[None, :]
+    ty2 = jnp.clip(ty1 + 1, 0, gh - 1)
+    tx2 = jnp.clip(tx1 + 1, 0, gw - 1)
+    ty1 = jnp.clip(ty1, 0, gh - 1)
+    tx1 = jnp.clip(tx1, 0, gw - 1)
+
+    flat = luts.reshape(-1)
+
+    def lookup(tyv, txv):
+        tile = tyv[:, None] * gw + txv[None, :]
+        return jnp.take(flat, tile * HIST_SIZE + vals)
+
+    xa1 = 1.0 - xa
+    ya1 = 1.0 - ya
+    res = (lookup(ty1, tx1) * xa1 + lookup(ty1, tx2) * xa) * ya1 \
+        + (lookup(ty2, tx1) * xa1 + lookup(ty2, tx2) * xa) * ya
+    return jnp.clip(jnp.round(res), 0, 255)
+
+
+def clahe_u8_bucketed_jax(batch_vals, aux, grid=(8, 8)):
+    """CLAHE over a padded bucket: (B, BH, BW) int32 u8-values -> f32 u8-values.
+
+    ``aux`` comes from ``clahe_bucket_aux``; values outside each image's
+    valid extent are garbage on output (mask downstream).
+    """
+    gh, gw = grid
+
+    def one(vals, row_src, col_src, row_tile, col_tile, inv_th, inv_tw,
+            clim, scale):
+        padded = jnp.take(jnp.take(vals, row_src, axis=0), col_src, axis=1)
+        hist = _hist_dynamic(padded, row_tile, col_tile, gh, gw)
+        luts = _luts_dynamic(hist.reshape(gh * gw, HIST_SIZE), clim, scale)
+        return _interp_dynamic(vals, luts, inv_th, inv_tw, gh, gw)
+
+    return jax.vmap(one)(batch_vals, aux["row_src"], aux["col_src"],
+                         aux["row_tile"], aux["col_tile"], aux["inv_th"],
+                         aux["inv_tw"], aux["clim"], aux["scale"])

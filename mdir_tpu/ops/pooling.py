@@ -11,6 +11,8 @@ versions (the TPU static-shape strategy; see ARCHITECTURE.md §2).
 """
 import math
 
+import jax
+
 import jax.numpy as jnp
 
 
@@ -103,6 +105,56 @@ def roipool(x, pool_fn, levels=3):
     for (i, j, size) in _rmac_region_grid(h, w, levels):
         vecs.append(pool_fn(x[..., i:i + size, j:j + size, :]))
     return jnp.stack(vecs, axis=-2)
+
+
+def _box_mask(shape_hw, box):
+    """(B, H, W) mask of one region per image; box (B, 4) = [y0, x0, bh, bw]."""
+    h, w = shape_hw
+    rows = jnp.arange(h)[None, :, None]
+    cols = jnp.arange(w)[None, None, :]
+    y0 = box[:, 0:1, None]
+    x0 = box[:, 1:2, None]
+    return ((rows >= y0) & (rows < y0 + box[:, 2:3, None])
+            & (cols >= x0) & (cols < x0 + box[:, 3:4, None]))
+
+
+def region_vectors(x, boxes, pool_fn):
+    """Pool every region of every image: (B,H,W,C), (B,R,4) -> (B,R,C).
+
+    Regions are host-computed rectangles inside each image's valid feature
+    extent (``rmac_region_boxes``); a zero-size box marks padding. The R
+    axis is a sequential ``lax.map`` so memory stays (B,H,W,C) per step —
+    the batched counterpart of the reference's per-region slicing
+    (cirtorch functional.py:26-123) without data-dependent shapes.
+    """
+    shape_hw = x.shape[-3:-1]
+
+    def one(box_r):  # (B, 4) -> (B, C)
+        return pool_fn(x, _box_mask(shape_hw, box_r))
+
+    vecs = jax.lax.map(one, jnp.moveaxis(boxes, 1, 0))
+    return jnp.moveaxis(vecs, 0, 1)
+
+
+def rmac_masked(x, boxes, eps=1e-6):
+    """Batched masked RMAC: per-region masked MAC, L2N, sum over real regions.
+
+    boxes includes the full valid extent as region 0 (reference rmac pools
+    the whole map first, functional.py:47-48).
+    """
+    vecs = region_vectors(x, boxes, lambda f, m: mac(f, mask=m))
+    vecs = vecs / (jnp.linalg.norm(vecs, axis=-1, keepdims=True) + eps)
+    real = (boxes[..., 2] > 0)[..., None].astype(vecs.dtype)
+    return jnp.sum(vecs * real, axis=-2)
+
+
+def rmac_region_boxes(h, w, levels=3):
+    """Host: [y0, x0, bh, bw] boxes of the RMAC grid for a (h, w) feature
+    extent, full-extent box first (the reference's region enumeration)."""
+    boxes = [(0, 0, h, w)]
+    for (i, j, size) in _rmac_region_grid(h, w, levels):
+        boxes.append((i, j, size, size))
+    return boxes
 
 
 def powerlaw(x, eps=1e-6):

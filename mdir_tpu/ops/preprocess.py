@@ -1,17 +1,22 @@
-"""In-graph (device) preprocessing chains for fixed-size batches.
+"""In-graph (device) preprocessing chains.
 
-The host transform DSL (``data/transforms.py``) is exact but serial; for
-fixed-size batches (training crops, same-size eval sets) the photometric
-chain can run fused on device: raw uint8 RGB in HBM -> /255 -> colorspace ->
-CLAHE on the lightness channel (cv2 semantics, vmapped over the batch) ->
-back to RGB -> normalize. One compiled program; pairs with bf16 trunks.
+The host transform DSL (``data/transforms.py``) is exact but serial on this
+1-core host; supported photometric chains instead run fused on device from
+raw uint8 ingress. Two entry points:
 
-Colorspace conversions use the calibrated JAX implementations
-(``ops/colorspace.py``, ~1e-3 of cv2's float path); the CLAHE uint8
-quantization amplifies that delta on isolated pixels (bin flips under the
-LUT slope), so this is a *near-exact* opt-in fast path (mean error ~0.5%
-normalized) — the host chain remains the bit-exact parity reference. Supported
-DSL subset: ``pil2np | [apply_clahe[:clip[:space[:grid]]] |
+* ``make_device_preprocess`` — fixed-size batches (training crops): uint8
+  RGB -> /255 -> colorspace -> CLAHE (cv2 semantics, vmapped) -> back ->
+  normalize, one jitted program.
+* ``chain_from_transform`` + ``make_bucketed_chain`` — the PRODUCTION path
+  (parallel/extract.py, learning/train_step.py): lowers a host Compose onto
+  padded buckets with per-image valid extents. CLAHE input is the shipped
+  cv2 L plane (bit-identical to the host chain; see DeviceChain), the tile
+  geometry is cv2-exact per image (ops/clahe.py bucketed kernels), and the
+  residual device-vs-host delta is only the ~1e-4 colorspace round trip on
+  non-L channels (mAP-identical in the validate stage). Enabled by default;
+  ``MDIR_TPU_DEVICE_PREPROCESS=0`` opts out.
+
+Supported DSL subset: ``pil2np | [apply_clahe[:clip[:space[:grid]]] |
 add_clahe_fromrgb[:clip[:grid[:space]]] | tospace:<space>] | totensor |
 normalize``.
 """
@@ -19,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import clahe as clahe_ops
 from . import colorspace as cs
@@ -86,3 +92,164 @@ def make_device_preprocess(chain, mean_std):
         return x
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Production path: host-transform detection + bucketed device chains
+# ---------------------------------------------------------------------------
+#
+# ``chain_from_transform`` inspects a host Compose (data/transforms.py) and,
+# when every step has a device equivalent, returns a spec the bucketed
+# extractor (parallel/extract.py) runs fused on device from raw uint8
+# ingress: 4x less host->device transfer and zero per-image host CPU beyond
+# decode — the reference instead runs CLAHE inside 6 DataLoader worker
+# processes (mdir/components/data/dataset/__init__.py:15-19) which this
+# 1-core host cannot afford. CLAHE on padded buckets uses the
+# valid-extent-aware kernels (ops/clahe.py::clahe_u8_bucketed_jax,
+# bit-exact vs cv2 tile geometry at every image's true size).
+
+class DeviceChain:
+    """A host transform chain lowered to a device program over u8 buckets.
+
+    When the chain contains a CLAHE step, the loader ships the host-computed
+    (cv2) lightness channel as a 4th uint8 plane (``ships_l``): CLAHE's u8
+    input is then bit-identical to the host chain's — the JAX colorspace is
+    within ~1e-3 of cv2's float path, which the u8 truncation would otherwise
+    amplify into tile-LUT bin flips. Ingress stays uint8 (4 B/px vs 12 B/px
+    host-float), and the only residual device-vs-host difference is the
+    ~1e-3 colorspace round trip on the non-L channels.
+    """
+
+    def __init__(self, steps, mean_std):
+        self.steps = steps
+        self.mean_std = ([float(m) for m in mean_std[0]],
+                         [float(s) for s in mean_std[1]])
+        clahe = [args for name, args in steps
+                 if name in ("apply_clahe", "add_clahe_fromrgb")]
+        assert len(clahe) <= 1, "one CLAHE step per chain"
+        if clahe:
+            clip, space, grid = clahe[0]
+            self.clahe_params = (float(clip), (int(grid), int(grid)))
+            self.clahe_space = space
+        else:
+            self.clahe_params = None
+            self.clahe_space = None
+
+    @property
+    def ships_l(self):
+        return self.clahe_params is not None
+
+    def host_input(self, img_u8):
+        """Loader-side raw input: RGB u8, plus the cv2 L u8 plane if CLAHE."""
+        img_u8 = np.asarray(img_u8, np.uint8)
+        if not self.ships_l:
+            return img_u8
+        from ..data.transforms import rgb2normspace_np
+
+        spc = rgb2normspace_np(img_u8.astype(np.float32) / 255.0,
+                               self.clahe_space)
+        l_u8 = (spc[..., 0] * 255).astype(np.uint8)
+        return np.concatenate([img_u8, l_u8[..., None]], axis=-1)
+
+    @property
+    def key(self):
+        return (tuple((n, tuple(a)) for n, a in self.steps),
+                tuple(self.mean_std[0]), tuple(self.mean_std[1]))
+
+
+def chain_from_transform(transform):
+    """Translate a host Compose into a DeviceChain, or None if unsupported."""
+    ts = getattr(transform, "transforms", None)
+    if not ts:
+        return None
+    from ..data import transforms as T
+
+    steps = []
+    for t in ts:
+        if isinstance(t, (T.Pil2Numpy, T.ToTensor)):
+            continue
+        if isinstance(t, T.Normalize):
+            if not t.params["strict_shape"]:
+                return None
+            steps.append(("normalize", ()))
+        elif isinstance(t, T.ApplyClahe) and not isinstance(
+                t, T.CreateClahedImage):
+            p = t.params
+            steps.append(("apply_clahe", (p["clip_limit"], p["colorspace"],
+                                          p["grid_size"])))
+        elif isinstance(t, T.AddClaheFromRgb):
+            p = t.params
+            steps.append(("add_clahe_fromrgb",
+                          (p["clip_limit"], p["colorspace"], p["grid_size"])))
+        elif isinstance(t, T.ToColorspace):
+            if t.params["colorspace"].lower() == "gray":
+                return None  # changes channel count pre-CLAHE; host path
+            steps.append(("tospace", (t.params["colorspace"],)))
+        else:
+            return None
+    if not steps or steps[-1][0] != "normalize" \
+            or any(n == "normalize" for n, _ in steps[:-1]):
+        return None
+    norm = ts[-1]
+    if not isinstance(norm, T.Normalize):
+        return None
+    return DeviceChain(steps[:-1] + [("normalize", ())],
+                       (norm.params["mean"], norm.params["std"]))
+
+
+def make_bucketed_chain(chain):
+    """Device fn for a DeviceChain over padded u8 buckets.
+
+    Returns ``fn(batch_u8, clahe_aux) -> float32 batch`` (traced inside the
+    extraction program; ``clahe_aux`` comes from ``ops.clahe.clahe_bucket_aux``
+    and is None for CLAHE-less chains). Output is garbage outside each
+    image's valid extent — the caller masks in normalized space.
+    """
+    mean = jnp.asarray(chain.mean_std[0], jnp.float32)
+    std = jnp.asarray(chain.mean_std[1], jnp.float32)
+    ships_l = chain.ships_l
+
+    def clahe_chan(batch_u8, aux, grid):
+        # the shipped cv2 L plane makes the CLAHE input bit-identical to
+        # the host chain's (see DeviceChain docstring)
+        l_u8 = batch_u8[..., 3].astype(jnp.int32)
+        return clahe_ops.clahe_u8_bucketed_jax(l_u8, aux, grid) / 255.0
+
+    def fn(batch_u8, clahe_aux):
+        x = batch_u8[..., :3].astype(jnp.float32) / 255.0
+        for name, args in chain.steps:
+            if name == "apply_clahe":
+                clip, space, grid = args
+                chan = clahe_chan(batch_u8, clahe_aux, (grid, grid))
+                spc = cs.rgb2normspace(x[..., :3], space)
+                x = cs.normspace2rgb(spc.at[..., 0].set(chan), space)
+            elif name == "add_clahe_fromrgb":
+                clip, space, grid = args
+                chan = clahe_chan(batch_u8, clahe_aux, (grid, grid))
+                x = jnp.concatenate([x, chan[..., None]], axis=-1)
+            elif name == "tospace":
+                x = cs.rgb2normspace(x[..., :3], args[0])
+            elif name == "normalize":
+                c = x.shape[-1]
+                x = (x - mean[:c]) / std[:c]
+        return x
+
+    return fn
+
+
+class RawChainInput:
+    """``__getitem__``-side replacement for a host chain lowered to device:
+    emits the raw uint8 planes ``DeviceChain.host_input`` defines."""
+
+    def __init__(self, chain):
+        self.chain = chain
+
+    def __call__(self, *pics):
+        acc = []
+        for pic in pics:
+            if not isinstance(pic, np.ndarray):
+                pic = np.asarray(pic.convert("RGB"), np.uint8)
+            elif pic.dtype != np.uint8:
+                pic = np.clip(pic * 255.0, 0, 255).astype(np.uint8)
+            acc.append(self.chain.host_input(pic))
+        return acc[0] if len(acc) == 1 else acc

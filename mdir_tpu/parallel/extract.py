@@ -77,24 +77,48 @@ def _load_images(images, image_size, transform, bbxs=None, workers=6):
 
 
 def _fused_extract_fn(module, scales, has_whiten, device_normalize,
-                      compute_dtype):
-    """One jitted program per (module, scales, whiten?, normalize?, dtype)
-    doing: [uint8 -> /255 -> (x-mean)/std ->] per-scale exact resize ->
-    masked trunk+pool -> p-power aggregation -> L2 -> optional whitening.
-    A single launch per image chunk keeps remote-device dispatch latency off
-    the critical path; ``device_normalize`` lets the host ship raw uint8
-    pixels (4x less HBM ingress) with normalization fused on device;
+                      compute_dtype, chain=None):
+    """One jitted program per (module, scales, whiten?, preprocess, dtype)
+    doing: [uint8 -> /255 -> preprocess chain (CLAHE/colorspace) ->
+    (x-mean)/std ->] per-scale exact resize -> masked trunk+pool -> p-power
+    aggregation -> L2 -> optional whitening. A single launch per image chunk
+    keeps remote-device dispatch latency off the critical path;
+    ``device_normalize`` lets the host ship raw uint8 pixels (4x less HBM
+    ingress) with normalization fused on device; ``chain`` (a DeviceChain)
+    additionally runs the photometric transform chain — CLAHE included, with
+    cv2-exact per-image tile geometry on the padded bucket — on device;
     ``compute_dtype='bfloat16'`` runs the trunk on the MXU's native dtype
     (opt-in — descriptors come back in f32 either way).
 
     Normalize-then-resize equals the reference's resize-then-normalize
     exactly: bilinear resampling commutes with a per-channel affine map.
+    (With a CLAHE chain the whole nonlinear chain runs before any resize,
+    matching the reference order: transforms at native size, then the
+    multiscale wrapper's resizes.)
     """
+    chain_fn = None
+    if chain is not None:
+        from ..ops.preprocess import make_bucketed_chain
 
-    def fn(variables, batch, valid_hw, grids, msp, P, m, mean, std):
+        chain_fn = make_bucketed_chain(chain)
+
+    if _os.environ.get("MDIR_TPU_PALLAS", "0") == "1" \
+            and getattr(module, "pooling", None) == "gem" \
+            and hasattr(module, "pallas_pool"):
+        module = module.clone(pallas_pool=True)
+
+    # batched RMAC/Rpool: host-computed per-image region grids ride along
+    needs_boxes = getattr(module, "pooling", None) == "rmac" \
+        or getattr(module, "regional", False)
+
+    def fn(variables, batch, valid_hw, grids, clahe_aux, boxes, msp, P, m,
+           mean, std):
         from ..models.trunks import apply_valid_mask
 
-        if device_normalize:
+        if chain_fn is not None:
+            batch = chain_fn(batch, clahe_aux)
+            batch = apply_valid_mask(batch, valid_hw)
+        elif device_normalize:
             batch = batch.astype(jnp.float32) / 255.0
             batch = (batch - mean) / std
             # padded cells must be zero in normalized space
@@ -111,7 +135,11 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
                 y0, y1, wy, x0, x1, wx, v = grids[s_idx]
                 x = apply_valid_mask(
                     jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx), v)
-            vecs = module.apply(variables, x, valid_hw=v)  # (B, D)
+            if needs_boxes:
+                vecs = module.apply(variables, x, valid_hw=v,
+                                    region_boxes=boxes[s_idx])  # (B, D)
+            else:
+                vecs = module.apply(variables, x, valid_hw=v)  # (B, D)
             vecs = vecs.astype(jnp.float32)
             powed = vecs ** msp
             acc = powed if acc is None else acc + powed
@@ -131,12 +159,14 @@ _FUSED_CACHE = {}
 
 
 def _get_fused(module, scales, has_whiten, device_normalize=False,
-               compute_dtype=None):
+               compute_dtype=None, chain=None):
     key = (id(module), tuple(scales), has_whiten, device_normalize,
-           str(compute_dtype))
+           str(compute_dtype), chain.key if chain is not None else None,
+           _os.environ.get("MDIR_TPU_PALLAS", "0"))
     if key not in _FUSED_CACHE:
         _FUSED_CACHE[key] = _fused_extract_fn(
-            module, tuple(scales), has_whiten, device_normalize, compute_dtype)
+            module, tuple(scales), has_whiten, device_normalize, compute_dtype,
+            chain=chain)
     return _FUSED_CACHE[key]
 
 
@@ -154,7 +184,7 @@ class StreamingExtractor:
     def __init__(self, model, scales=(1,), msp=1.0, whiten=None,
                  normalize_mean_std=None, compute_dtype=None,
                  bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
-                 mesh=None):
+                 mesh=None, device_chain=None):
         self.model = model
         self.scales = list(scales)
         self.msp = msp
@@ -168,17 +198,26 @@ class StreamingExtractor:
         else:
             self.P = self.m = jnp.zeros((0,), jnp.float32)
 
+        self.device_chain = device_chain
         self.device_normalize = normalize_mean_std is not None
         if self.device_normalize:
             self.mean = jnp.asarray(normalize_mean_std[0], jnp.float32)
             self.std = jnp.asarray(normalize_mean_std[1], jnp.float32)
             self.host_dtype = np.uint8
+        elif device_chain is not None:
+            # full photometric chain on device: raw uint8 RGB ingress
+            self.mean = self.std = jnp.zeros((0,), jnp.float32)
+            self.host_dtype = np.uint8
         else:
             self.mean = self.std = jnp.zeros((0,), jnp.float32)
             self.host_dtype = np.float32
 
+        self.region_pooling = \
+            getattr(model.module, "pooling", None) == "rmac" \
+            or getattr(model.module, "regional", False)
         self.fused = _get_fused(model.module, self.scales, has_whiten,
-                                self.device_normalize, compute_dtype)
+                                self.device_normalize, compute_dtype,
+                                chain=device_chain)
 
         variables = model.variables
         if compute_dtype is not None:
@@ -261,24 +300,63 @@ class StreamingExtractor:
                 out_valid[bi] = (oh, ow)
             grids.append((y0, y1, wy, x0, x1, wx, out_valid))
 
+        boxes = None
+        if self.region_pooling:
+            boxes = self._region_boxes(items, bsz, in_bucket)
+
+        clahe_aux = None
+        if self.device_chain is not None \
+                and self.device_chain.clahe_params is not None:
+            from ..ops.clahe import clahe_bucket_aux
+
+            clip, grid = self.device_chain.clahe_params
+            clahe_aux = clahe_bucket_aux([arr.shape[:2] for _, arr in items]
+                                         + [in_bucket] * (bsz - len(items)),
+                                         in_bucket, clip_limit=clip, grid=grid)
+
         if self.mesh is not None:
-            dev_batch = jax.device_put(batch, self.shard)
-            dev_valid = jax.device_put(valid, self.shard)
-            dev_grids = tuple(
-                None if g is None else tuple(jax.device_put(a, self.shard)
-                                             for a in g)
-                for g in grids)
+            put = lambda a: jax.device_put(a, self.shard)
         else:
-            dev_batch = jnp.asarray(batch)
-            dev_valid = jnp.asarray(valid)
-            dev_grids = tuple(None if g is None
-                              else tuple(jnp.asarray(a) for a in g)
-                              for g in grids)
+            put = jnp.asarray
+        dev_batch = put(batch)
+        dev_valid = put(valid)
+        dev_grids = tuple(None if g is None else tuple(put(a) for a in g)
+                          for g in grids)
+        dev_aux = None if clahe_aux is None \
+            else {k: put(v) for k, v in clahe_aux.items()}
+        dev_boxes = None if boxes is None else tuple(put(b) for b in boxes)
 
         vecs = self.fused(self.variables, dev_batch, dev_valid, dev_grids,
-                          jnp.float32(self.msp), self.P, self.m,
-                          self.mean, self.std)
+                          dev_aux, dev_boxes, jnp.float32(self.msp), self.P,
+                          self.m, self.mean, self.std)
         self.results.append(([idx for idx, _ in items], vecs))  # async
+
+    def _region_boxes(self, items, bsz, in_bucket):
+        """Per-scale (B, R, 4) RMAC/Rpool region grids over each image's
+        valid *feature* extent (host replay of the trunk arithmetic). R is
+        rounded up to a multiple of 8 to bound the compiled-program count;
+        zero-size boxes are padding."""
+        from ..models.trunks import trunk_valid_extent
+        from ..ops.pooling import rmac_region_boxes
+
+        arch = self.model.module.architecture
+        out = []
+        for scale in self.scales:
+            per_img = []
+            for bi in range(bsz):
+                ih, iw = items[bi][1].shape[:2] if bi < len(items) \
+                    else in_bucket
+                if scale != 1:
+                    ih = max(int(math.floor(ih * scale)), 1)
+                    iw = max(int(math.floor(iw * scale)), 1)
+                fh, fw = trunk_valid_extent(arch, (ih, iw))
+                per_img.append(rmac_region_boxes(max(fh, 1), max(fw, 1)))
+            r_cap = _round_up(max(len(b) for b in per_img), 8)
+            arr = np.zeros((bsz, r_cap, 4), np.int32)
+            for bi, blist in enumerate(per_img):
+                arr[bi, :len(blist)] = blist
+            out.append(arr)
+        return out
 
     def finish(self, n):
         """Flush partial buffers; sync; return the (D, N) descriptor matrix."""
@@ -345,13 +423,15 @@ def _stream_images(images, image_size, transform, bbxs=None, workers=6):
                            collate_fn=lambda items: items[0]))
 
 
-def _stream_images_uint8(images, image_size, bbxs=None, workers=6):
-    """Iterator of raw uint8 HWC pixels (decode + crop + thumbnail only)."""
+def _stream_images_uint8(images, image_size, bbxs=None, workers=6, chain=None):
+    """Iterator of raw uint8 HWC pixels (decode + crop + thumbnail only;
+    plus the host L plane when a device chain ships it)."""
 
     class _U8(ImagesFromList):
         def __getitem__(self, index):
             img = ImagesFromList.__getitem__(self, index)
-            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+            raw = np.asarray(img.convert("RGB"), dtype=np.uint8)
+            return raw if chain is None else chain.host_input(raw)
 
     dataset = _U8(root="", images=images, imsize=image_size, bbxs=bbxs,
                   transform=None)
@@ -377,8 +457,7 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
     model = network.model
     if analyzed is not None and getattr(model, "is_descriptor_model", False) \
             and not _is_sequential(network) \
-            and model.meta["pooling"] in ("gem", "mac", "spoc") \
-            and not model.meta["regional"]:
+            and model.meta["pooling"] in ("gem", "mac", "spoc", "rmac"):
         scales, whiten = analyzed
         msp = 1.0
         if len(scales) > 1 and model.meta["pooling"] == "gem" \
@@ -387,12 +466,26 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
         compute_dtype = os.environ.get("MDIR_TPU_COMPUTE_DTYPE") or None
 
         mean_std = _plain_normalize_chain(transform)
+        chain = None
+        if mean_std is None \
+                and os.environ.get("MDIR_TPU_DEVICE_PREPROCESS", "1") != "0":
+            from ..ops.preprocess import chain_from_transform
+
+            chain = chain_from_transform(transform)
         if mean_std is not None and len(mean_std[0]) == 3:
             loader = _stream_images_uint8(images, image_size, bbxs)
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, normalize_mean_std=mean_std,
                 compute_dtype=compute_dtype)
+        elif chain is not None:
+            # photometric chain (CLAHE etc.) fused on device, uint8 ingress
+            loader = _stream_images_uint8(images, image_size, bbxs,
+                                          chain=chain)
+            extractor = StreamingExtractor(
+                model, scales=scales, msp=msp, whiten=whiten,
+                max_batch=batch_size, compute_dtype=compute_dtype,
+                device_chain=chain)
         else:
             loader = _stream_images(images, image_size, transform, bbxs)
             extractor = StreamingExtractor(

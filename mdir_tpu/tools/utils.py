@@ -51,11 +51,32 @@ def validate_hash(content, path):
             % (computed, stored))
 
 
+def staged_artifact(url):
+    """Offline artifact staging: ``$MDIR_TPU_ARTIFACTS/<basename>`` if present.
+
+    Zero-egress environments pre-populate that directory; every URL fetch
+    consults it before the network and still hash-validates the content.
+    """
+    root = os.environ.get("MDIR_TPU_ARTIFACTS")
+    if not root:
+        return None
+    candidate = os.path.join(root, os.path.basename(url))
+    return candidate if os.path.exists(candidate) else None
+
+
 def load_url(url, cache_dir=None):
     """Download url into a BytesIO (or cached file path), verifying the hash.
 
     With cache_dir set, the file is stored under its basename and reused.
+    A staged copy (``staged_artifact``) takes precedence over the network.
     """
+    staged = staged_artifact(url)
+    if staged is not None:
+        with open(staged, "rb") as handle:
+            content = handle.read()
+        validate_hash(content, url)
+        return staged if cache_dir else io.BytesIO(content)
+
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         cached = os.path.join(cache_dir, os.path.basename(url))

@@ -49,3 +49,31 @@ def test_clahe_other_grid(rng):
     # cv2 tileGridSize is (cols, rows); ours is (rows, cols)
     ours = clahe.clahe_u8_np(src, clip_limit=3, grid=(6, 4))
     np.testing.assert_array_equal(ref, ours)
+
+
+def test_bucketed_clahe_bit_exact():
+    """Valid-extent bucketed CLAHE (padded batch, host tile maps + device MXU
+    histograms) is bit-exact with the cv2-exact host kernel at every image's
+    true size — including cv2's both-dims padding rule when either dim is
+    non-divisible (a divisible dim gains a full extra tile)."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.ops.clahe import (clahe_bucket_aux, clahe_u8_bucketed_jax,
+                                    clahe_u8_np)
+
+    rng = np.random.RandomState(3)
+    shapes = [(57, 43), (64, 64), (100, 91), (33, 120), (128, 77), (96, 128)]
+    bh, bw = 128, 128
+    batch = np.zeros((len(shapes), bh, bw), np.int32)
+    imgs = []
+    for i, (h, w) in enumerate(shapes):
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        imgs.append(img)
+        batch[i, :h, :w] = img
+    for clip in (2.5, 4.0, 40.0):
+        aux = clahe_bucket_aux(shapes, (bh, bw), clip_limit=clip, grid=(8, 8))
+        out = np.asarray(clahe_u8_bucketed_jax(
+            jnp.asarray(batch), {k: jnp.asarray(v) for k, v in aux.items()}))
+        for i, (h, w) in enumerate(shapes):
+            ref = clahe_u8_np(imgs[i], clip, (8, 8))
+            np.testing.assert_array_equal(out[i, :h, :w].astype(np.uint8), ref)

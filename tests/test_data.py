@@ -70,3 +70,33 @@ def test_lst_reader_multi(tmp_path):
 def test_unknown_suffix():
     with pytest.raises(ValueError):
         initialize_file_reader("foo.xyz")
+
+
+def test_staged_artifact_hook(tmp_path, monkeypatch):
+    """MDIR_TPU_ARTIFACTS staging: load_url prefers the staged copy and still
+    hash-validates it."""
+    import hashlib
+    import io
+
+    from mdir_tpu.tools.utils import load_url, staged_artifact
+
+    content = b"model bytes"
+    digest = hashlib.sha256(content).hexdigest()[:8]
+    name = "net-%s.pth" % digest
+    (tmp_path / name).write_bytes(content)
+    monkeypatch.setenv("MDIR_TPU_ARTIFACTS", str(tmp_path))
+
+    url = "http://example.invalid/models/" + name
+    assert staged_artifact(url) == str(tmp_path / name)
+    loaded = load_url(url)
+    assert isinstance(loaded, io.BytesIO) and loaded.getvalue() == content
+    # cache-dir mode returns the staged path directly
+    assert load_url(url, cache_dir=str(tmp_path / "cache")) == str(tmp_path / name)
+
+    # corrupted staged content fails the filename hash check
+    bad = "net2-%s.pth" % digest
+    (tmp_path / bad).write_bytes(b"other bytes")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_url("http://example.invalid/models/" + bad)

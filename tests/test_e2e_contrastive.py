@@ -211,3 +211,78 @@ def test_contrastive_training_data_parallel(sfm_root, tmp_path):
     metadata, = train(_copy.deepcopy(params), ())
     losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
     assert len(losses) == 1 and np.isfinite(losses[0]) and losses[0] > 0
+
+
+def test_contrastive_training_device_clahe_chain(sfm_root, tmp_path):
+    """The train stage with a CLAHE transform chain engages the device
+    preprocessing path end-to-end: tuple items ship as raw uint8 (+ host L
+    plane) and the chain — CLAHE included — runs fused inside the train-step
+    program. A wiring regression would feed 4-channel uint8 to the trunk and
+    crash; finite decreasing-capable losses pin the path works."""
+    import copy as _copy
+
+    from mdir_tpu.stages.train import train
+
+    mean_std = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+    params = {
+        "network": {
+            "type": "CirNetwork",
+            "path": None,
+            "model": {"architecture": "cirnet", "cir_architecture": "alexnet",
+                      "local_whitening": False, "pooling": "gem",
+                      "regional": False, "whitening": False,
+                      "pretrained": False},
+            "initialize": {"weights": "default", "seed": 0},
+            "runtime": {
+                "wrappers": {"train": "cirfaketuplebatch", "eval": ""},
+                "data": {"mean_std": mean_std,
+                         "transforms":
+                             "pil2np | apply_clahe | totensor | normalize"},
+            },
+        },
+        "learning": {
+            "type": "TrainValLearning",
+            "checkpoints": {"directory": str(tmp_path / "exp_clahe"),
+                            "store_every": 0, "checkpoint_every": 1},
+            "training": {
+                "type": "EpochTraining",
+                "epochs": 1,
+                "deterministic": True,
+                "seed": 0,
+                "criterion": {"loss": "contrastive", "margin": 0.7,
+                              "eps": 1e-6},
+                "optimizer": {"algorithm": "adam", "lr": 1e-6,
+                              "weight_decay": 0},
+                "scheduler": {"algorithm": "const"},
+                "epoch_iteration": {
+                    "type": "SupervisedEpoch",
+                    "data": "train",
+                    "criterion": "default",
+                    "batch_average": True,
+                    "fakebatch": True,
+                },
+            },
+            "validation": False,
+        },
+        "output": {"learning": {"progress": {"print_each": 100}}},
+        "data": {
+            "train": {
+                "dataset": {"name": "CirTuples",
+                            "dataset": "retrieval-SfM-tiny",
+                            "split": "train",
+                            "image_size": 64,
+                            "neg_num": 2,
+                            "dataset_pkl": str(
+                                sfm_root / "data" / "train" /
+                                "retrieval-SfM-tiny" / "retrieval-SfM-tiny.pkl"),
+                            "image_dir": None,
+                            "query_size": 4,
+                            "pool_size": 16},
+                "loader": {"batch_size": 2, "num_workers": 0},
+            },
+        },
+    }
+
+    metadata, = train(_copy.deepcopy(params), ())
+    losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
+    assert len(losses) == 1 and np.isfinite(np.asarray(losses)).all()

@@ -216,3 +216,50 @@ def test_cirdatasetap_tsv_mode(data_root, checkpoint_and_whitening, tmp_path):
     averages = score(network, None, None)
     assert set(averages) == {"map"}
     assert 0.0 <= averages["map"] <= 1.0
+
+
+def test_tokyo_old_protocol_gnd_pkl(data_root, checkpoint_and_whitening):
+    """247tokyo1k's exact path: official gnd pkl with the old 'ok' protocol
+    through configdataset -> CirDatasetAp -> validate stage, surfacing the
+    CLI's metric key ``247tokyo1k/validation/score:ap_avg.4`` (reference
+    cirtorch/utils/evaluate.py:114-127)."""
+    import pickle as _pickle
+
+    from PIL import Image
+
+    from mdir_tpu.stages.validate import validate
+
+    rng = np.random.RandomState(7)
+    tokyo = data_root / "data" / "test" / "247tokyo1k"
+    jpg_dir = tokyo / "jpg"
+    jpg_dir.mkdir(parents=True, exist_ok=True)
+    imlist = ["tok%02d" % i for i in range(6)]
+    qimlist = ["q00", "q01"]
+    for name in imlist + qimlist:
+        arr = (rng.rand(64, 72, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(jpg_dir / (name + ".jpg"))
+    gnd = [
+        {"ok": np.array([0, 2]), "junk": np.array([1]), "bbx": None},
+        {"ok": np.array([3]), "junk": np.array([]), "bbx": None},
+    ]
+    with open(tokyo / "gnd_247tokyo1k.pkl", "wb") as handle:
+        _pickle.dump({"imlist": imlist, "qimlist": qimlist, "gnd": gnd},
+                     handle)
+
+    net_path, whit_path = checkpoint_and_whitening
+    scenario = _scenario(net_path, whit_path)
+    scenario["validation"]["247tokyo1k"] = {
+        "type": "SingleValidation",
+        "frequency": None,
+        "criterion": {"type": "cirdatasetap", "image_size": 96,
+                      "dataset": "247tokyo1k"},
+        "network_overlay": None,
+        "data": None,
+    }
+    del scenario["validation"]["roxford5k"]
+    metadata, = validate(scenario, ())
+
+    key = "247tokyo1k/validation/score:ap_avg.4"
+    assert key in metadata["eval"], metadata["eval"].keys()
+    value = metadata["eval"][key]
+    assert np.isfinite(value) and 0.0 <= value <= 1.0

@@ -140,3 +140,138 @@ def test_bf16_extraction_close(rng, alexnet_model):
     # bf16 trunk compute: descriptors stay close after L2 normalization
     cos = (f32 * bf16).sum(axis=0)
     assert (cos > 0.995).all(), cos
+
+
+def test_device_clahe_chain_path(rng, alexnet_model, tmp_path):
+    """Production wiring of the device photometric chain: a CLAHE transform
+    chain extracts from raw uint8 ingress with CLAHE fused on device
+    (cv2-exact tile geometry per image inside the padded bucket) and matches
+    the host-chain wrapper path (reference semantics:
+    mdir/components/data/transform/photometric_transforms.py:28-36)."""
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.parallel.extract import (StreamingExtractor,
+                                           extract_vectors_network,
+                                           _load_images)
+
+    model = alexnet_model
+    mean_std = [model.meta["mean"], model.meta["std"]]
+    paths = []
+    for i in range(4):
+        # min side >= 64: at scale 0.5 the alexnet trunk needs >= 32 px
+        arr = (rng.rand(64 + 17 * i, 88 + 5 * i, 3) * 255).astype(np.uint8)
+        p = tmp_path / ("img%d.png" % i)
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+
+    transform = initialize_transforms(
+        "pil2np | apply_clahe | totensor | normalize", mean_std)
+    network = CirNetwork(
+        model, CirNetwork.NetworkParams(
+            model={}, runtime={"wrappers": {
+                "train": None,
+                "eval": {"0_cirmultiscale": {"scales": True}}}}),
+        frozen=True)
+
+    fast = extract_vectors_network(network, paths, 96, transform)
+
+    # reference path: per-image wrappers on the host cv2-exact chain
+    arrays = _load_images(paths, 96, transform)
+    ref = np.stack([np.asarray(network(a)).reshape(-1) for a in arrays], axis=1)
+
+    cos = (ref * fast).sum(axis=0) / (
+        np.linalg.norm(ref, axis=0) * np.linalg.norm(fast, axis=0))
+    assert (cos > 0.999).all(), cos
+    np.testing.assert_allclose(ref, fast, rtol=1e-2, atol=5e-3)
+
+
+def test_pallas_pool_extraction_wiring(rng, alexnet_model, monkeypatch):
+    """MDIR_TPU_PALLAS=1 swaps the fused GeM+L2N pooling into the extraction
+    program (Pallas on TPU; identical jnp composition off-TPU) — results
+    match the default path."""
+    from mdir_tpu.parallel.extract import extract_vectors_batched
+
+    arrays = [rng.rand(64, 80, 3).astype(np.float32) for _ in range(3)]
+    base = extract_vectors_batched(alexnet_model, arrays, scales=[1, 0.5],
+                                   msp=3.0)
+    monkeypatch.setenv("MDIR_TPU_PALLAS", "1")
+    fused = extract_vectors_batched(alexnet_model, arrays, scales=[1, 0.5],
+                                    msp=3.0)
+    np.testing.assert_allclose(base, fused, rtol=1e-5, atol=1e-6)
+
+
+def _wrapped(model, wrappers):
+    return CirNetwork(
+        model, CirNetwork.NetworkParams(model={}, runtime={"wrappers": {
+            "train": None, "eval": wrappers}}), frozen=True)
+
+
+def test_batched_rmac_equals_wrapper_path(rng):
+    """RMAC nets ride the fused bucketed path (host-computed region grids
+    over valid feature extents) and match the per-image static-shape path
+    (reference cirtorch functional.py:26-75)."""
+    from mdir_tpu.parallel.extract import extract_vectors_network, _load_images
+    from mdir_tpu.data.transforms import initialize_transforms
+
+    model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "rmac", "regional": False,
+        "whitening": False, "pretrained": False})
+    mean_std = [model.meta["mean"], model.meta["std"]]
+    network = _wrapped(model, {"0_cirmultiscale": {"scales": True}})
+
+    from PIL import Image
+    import tempfile, os as _os
+
+    tmp = tempfile.mkdtemp()
+    paths = []
+    for i in range(3):
+        arr = (rng.rand(80 + 11 * i, 100 + 7 * i, 3) * 255).astype(np.uint8)
+        p = _os.path.join(tmp, "img%d.png" % i)
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+
+    fast = extract_vectors_network(network, paths, 112, transform)
+
+    arrays = _load_images(paths, 112, transform)
+    ref = np.stack([np.asarray(network(a)).reshape(-1) for a in arrays],
+                   axis=1)
+    np.testing.assert_allclose(ref, fast, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_regional_equals_wrapper_path(rng):
+    """Regional (Rpool) GeM nets on the fused bucketed path == per-image
+    (reference cirtorch pooling.py:64-100 incl. per-region whitening)."""
+    from mdir_tpu.parallel.extract import extract_vectors_network, _load_images
+    from mdir_tpu.data.transforms import initialize_transforms
+
+    model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": True,
+        "whitening": False, "pretrained": False})
+    mean_std = [model.meta["mean"], model.meta["std"]]
+    network = _wrapped(model, {"0_cirmultiscale": {"scales": True}})
+
+    from PIL import Image
+    import tempfile, os as _os
+
+    tmp = tempfile.mkdtemp()
+    paths = []
+    for i in range(3):
+        arr = (rng.rand(96 + 13 * i, 88 + 9 * i, 3) * 255).astype(np.uint8)
+        p = _os.path.join(tmp, "img%d.png" % i)
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+
+    fast = extract_vectors_network(network, paths, 112, transform)
+
+    arrays = _load_images(paths, 112, transform)
+    ref = np.stack([np.asarray(network(a)).reshape(-1) for a in arrays],
+                   axis=1)
+    np.testing.assert_allclose(ref, fast, rtol=1e-4, atol=1e-5)
