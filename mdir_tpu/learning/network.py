@@ -171,14 +171,11 @@ class SingleNetwork(Network):
         """Run the model on one image tensor; keeps reference conventions:
         descriptor models return (D, N) columns, image models return images."""
         x = jnp.asarray(image, dtype=jnp.float32)
-        squeeze = False
         if x.ndim == 3:
             x = x[None]
-            squeeze = False
         out = self._jitted_apply()(self.model.variables, x)
         if self.model.is_descriptor_model:
             return out.T  # (D, N)
-        del squeeze
         return out
 
     def __call__(self, image):
