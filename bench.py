@@ -79,15 +79,14 @@ def _resident_args(model, mean_std, max_batch, shape, scales):
         gy0, gy1, gwy = torch_resize_grid(h, oh, scale)
         gx0, gx1, gwx = torch_resize_grid(w, ow, scale)
 
-        def pad(a, n):
-            out = np.zeros((max_batch, n), a.dtype)
-            out[:, :len(a)] = a
+        def pack(i0, i1, wt, n):
+            out = np.zeros((max_batch, n, 3), np.float32)
+            out[:, :len(i0), 0] = i0
+            out[:, :len(i1), 1] = i1
+            out[:, :len(wt), 2] = wt
             return jnp.asarray(out)
 
-        return (pad(gy0.astype(np.int32), oh_b), pad(gy1.astype(np.int32), oh_b),
-                pad(gwy.astype(np.float32), oh_b),
-                pad(gx0.astype(np.int32), ow_b), pad(gx1.astype(np.int32), ow_b),
-                pad(gwx.astype(np.float32), ow_b),
+        return (pack(gy0, gy1, gwy, oh_b), pack(gx0, gx1, gwx, ow_b),
                 jnp.asarray(np.tile(np.array([[oh, ow]], np.int32),
                                     (max_batch, 1))))
 
@@ -165,7 +164,31 @@ def main():
     mean_std = (model.meta["mean"], model.meta["std"])
     compute_dtype = os.environ.get("MDIR_TPU_COMPUTE_DTYPE") or None
 
+    # BENCH_TRANSFORMS="pil2np | apply_clahe | totensor | normalize" runs the
+    # e2e pass through the device photometric chain (uint8 + host L plane
+    # ingress, CLAHE fused on device) instead of plain normalize
+    chain = None
+    bench_transforms = os.environ.get("BENCH_TRANSFORMS")
+    if bench_transforms:
+        from mdir_tpu.data.transforms import initialize_transforms
+        from mdir_tpu.ops.preprocess import chain_from_transform
+
+        chain = chain_from_transform(
+            initialize_transforms(bench_transforms, list(mean_std)))
+        assert chain is not None, bench_transforms
+        arrays = [chain.host_input(a) for a in arrays]
+        shipped_bytes = sum(a.nbytes for a in arrays)
+
     def run(imgs):
+        if chain is not None:
+            from mdir_tpu.parallel.extract import StreamingExtractor
+
+            extractor = StreamingExtractor(
+                model, scales=scales, msp=msp, max_batch=max_batch,
+                compute_dtype=compute_dtype, device_chain=chain)
+            for i, arr in enumerate(imgs):
+                extractor.add(i, arr)
+            return extractor.finish(len(imgs))
         return extract_vectors_batched(
             model, imgs, scales=scales, msp=msp, max_batch=max_batch,
             normalize_mean_std=mean_std, compute_dtype=compute_dtype)

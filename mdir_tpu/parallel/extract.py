@@ -132,7 +132,15 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
             if scale == 1:
                 x, v = batch, valid_hw
             else:
-                y0, y1, wy, x0, x1, wx, v = grids[s_idx]
+                # grids ship packed as two f32 arrays per scale (fewer
+                # host->device transfers; the tunnel charges per round trip)
+                ypack, xpack, v = grids[s_idx]
+                y0 = ypack[..., 0].astype(jnp.int32)
+                y1 = ypack[..., 1].astype(jnp.int32)
+                wy = ypack[..., 2]
+                x0 = xpack[..., 0].astype(jnp.int32)
+                x1 = xpack[..., 1].astype(jnp.int32)
+                wx = xpack[..., 2]
                 x = apply_valid_mask(
                     jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx), v)
             if needs_boxes:
@@ -243,6 +251,8 @@ class StreamingExtractor:
         self.buffers = collections.defaultdict(list)  # bucket -> [(idx, arr)]
         self.saw_full = set()  # buckets that compiled a full-size program
         self.results = []  # (indices, device array), synced in finish()
+        self._uplink = None  # transfer/dispatch pipeline thread
+        self._uplink_error = []
 
     def _bucket(self, arr):
         return (_round_up(arr.shape[0], self.bucket_multiple),
@@ -282,12 +292,10 @@ class StreamingExtractor:
                              self.bucket_multiple)
             ow_b = _round_up(max(int(math.floor(in_bucket[1] * scale)), 1),
                              self.bucket_multiple)
-            y0 = np.zeros((bsz, oh_b), np.int32)
-            y1 = np.zeros((bsz, oh_b), np.int32)
-            wy = np.zeros((bsz, oh_b), np.float32)
-            x0 = np.zeros((bsz, ow_b), np.int32)
-            x1 = np.zeros((bsz, ow_b), np.int32)
-            wx = np.zeros((bsz, ow_b), np.float32)
+            # packed (B, O, 3) f32 [idx0, idx1, weight] per axis: 2 transfers
+            # per scale instead of 6 (indices < 2^24 are exact in f32)
+            ypack = np.zeros((bsz, oh_b, 3), np.float32)
+            xpack = np.zeros((bsz, ow_b, 3), np.float32)
             out_valid = np.zeros((bsz, 2), np.int32)
             for bi, (_, arr) in enumerate(items):
                 ih, iw = arr.shape[:2]
@@ -295,10 +303,12 @@ class StreamingExtractor:
                 ow = int(math.floor(iw * scale))
                 gy0, gy1, gwy = torch_resize_grid(ih, oh, scale)
                 gx0, gx1, gwx = torch_resize_grid(iw, ow, scale)
-                y0[bi, :oh], y1[bi, :oh], wy[bi, :oh] = gy0, gy1, gwy
-                x0[bi, :ow], x1[bi, :ow], wx[bi, :ow] = gx0, gx1, gwx
+                ypack[bi, :oh, 0], ypack[bi, :oh, 1], ypack[bi, :oh, 2] = \
+                    gy0, gy1, gwy
+                xpack[bi, :ow, 0], xpack[bi, :ow, 1], xpack[bi, :ow, 2] = \
+                    gx0, gx1, gwx
                 out_valid[bi] = (oh, ow)
-            grids.append((y0, y1, wy, x0, x1, wx, out_valid))
+            grids.append((ypack, xpack, out_valid))
 
         boxes = None
         if self.region_pooling:
@@ -314,6 +324,12 @@ class StreamingExtractor:
                                          + [in_bucket] * (bsz - len(items)),
                                          in_bucket, clip_limit=clip, grid=grid)
 
+        indices = [idx for idx, _ in items]
+        self._dispatch((indices, batch, valid, grids, clahe_aux, boxes))
+
+    def _transfer_and_launch(self, indices, batch, valid, grids, clahe_aux,
+                             boxes):
+        """Host->device transfers + one async program launch for a chunk."""
         if self.mesh is not None:
             put = lambda a: jax.device_put(a, self.shard)
         else:
@@ -329,7 +345,48 @@ class StreamingExtractor:
         vecs = self.fused(self.variables, dev_batch, dev_valid, dev_grids,
                           dev_aux, dev_boxes, jnp.float32(self.msp), self.P,
                           self.m, self.mean, self.std)
-        self.results.append(([idx for idx, _ in items], vecs))  # async
+        self.results.append((indices, vecs))  # async
+
+    def _dispatch(self, payload):
+        """Pipeline chunk uploads on a dedicated thread: host batch assembly,
+        host->device transfer, and device compute overlap (the tunnel charges
+        per round trip, so keeping a transfer permanently in flight is what
+        saturates it). MDIR_TPU_UPLINK_THREAD=0 runs inline."""
+        if _os.environ.get("MDIR_TPU_UPLINK_THREAD", "1") == "0":
+            self._transfer_and_launch(*payload)
+            return
+        if self._uplink is None:
+            import queue
+            import threading
+
+            self._queue = queue.Queue(maxsize=2)
+            self._uplink_error = []
+
+            def _run():
+                while True:
+                    item = self._queue.get()
+                    if item is None:
+                        return
+                    try:
+                        self._transfer_and_launch(*item)
+                    except BaseException as exc:  # surfaced in finish()
+                        self._uplink_error.append(exc)
+                        return
+
+            self._uplink = threading.Thread(target=_run, daemon=True,
+                                            name="mdir-tpu-uplink")
+            self._uplink.start()
+        if self._uplink_error:
+            raise self._uplink_error[0]
+        self._queue.put(payload)
+
+    def _drain_uplink(self):
+        if self._uplink is not None:
+            self._queue.put(None)
+            self._uplink.join()
+            self._uplink = None
+            if self._uplink_error:
+                raise self._uplink_error[0]
 
     def _region_boxes(self, items, bsz, in_bucket):
         """Per-scale (B, R, 4) RMAC/Rpool region grids over each image's
@@ -362,6 +419,7 @@ class StreamingExtractor:
         """Flush partial buffers; sync; return the (D, N) descriptor matrix."""
         for bucket in list(self.buffers.keys()):
             self._submit(bucket)
+        self._drain_uplink()
         assert self.results, "no images were added"
         dim = self.results[0][1].shape[1]
         out = np.zeros((n, dim), np.float32)
