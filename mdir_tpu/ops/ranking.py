@@ -27,6 +27,40 @@ def rank_database(vecs, qvecs):
     return jnp.argsort(-scores, axis=0)
 
 
+def rank_database_sharded(vecs, qvecs, mesh):
+    """Database-sharded ranking over a device mesh.
+
+    The (D, N) descriptor database is split along N across the mesh's data
+    axis (each chip scores its shard: one local matmul), queries are
+    replicated, and XLA inserts the ICI all-gather the global argsort needs.
+    This is the "shard the database matrix" scaling story of SURVEY §2.12
+    for databases beyond one chip's HBM; results equal ``rank_database``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = vecs.shape[1]
+    pad = -n % mesh.devices.size
+    if pad:
+        # pad with -inf-scoring columns so they rank last and slice away
+        vecs = jnp.concatenate(
+            [jnp.asarray(vecs),
+             jnp.full((vecs.shape[0], pad), jnp.nan, vecs.dtype)], axis=1)
+    db = jax.device_put(jnp.asarray(vecs), NamedSharding(mesh, P(None, axis)))
+    q = jax.device_put(jnp.asarray(qvecs), NamedSharding(mesh, P()))
+
+    @jax.jit
+    def ranked(db, q):
+        scores = jnp.dot(db.T, q, precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
+        return jnp.argsort(-scores, axis=0)
+
+    ranks = ranked(db, q)
+    # padded columns score -inf, so they occupy exactly the last rows
+    return ranks[:n]
+
+
 def _ap_from_masks(is_pos, is_junk, nres):
     """Vectorized trapezoidal AP for one query.
 

@@ -85,3 +85,20 @@ def test_htmlreport_renders(tmp_path, rng):
     assert report.exists()
     content = report.read_text()
     assert "train/learning/loss" in content
+
+
+def test_htmlreport_renders_iteration_blobs(tmp_path, rng):
+    """Per-iteration sample blobs (lists of {dtype, path}) render as the
+    latest thumbnail instead of crashing the report."""
+    pytest.importorskip("matplotlib")
+    events = initialize_processor({"htmlreport": True}, dataroot=str(tmp_path))
+    for i in range(2):
+        events.register_data(0, i, 2, "train/learning/loss",
+                             {"total": 1.0 - i * 0.1}, "scalar/loss")
+        events.register_data(0, i, 2, "train_data/input",
+                             {"img.rgb": {"dtype": "image:rgb",
+                                          "data": rng.rand(8, 8, 3)}}, "blob")
+    events.close_epoch()
+    report = (tmp_path / "report.html").read_text()
+    assert "train_data/input" in report
+    assert "missing blob" not in report

@@ -117,3 +117,23 @@ def test_revisited_protocol(rng):
              for g in gnd]
     ref_m = _reference_compute_map(ranks, gnd_m)[0]
     np.testing.assert_allclose(averages["map_medium"], ref_m, rtol=1e-12)
+
+
+def test_rank_database_sharded_equals_single():
+    """Database-sharded ranking over the 8-device mesh == single-device,
+    including a database size that does not divide the mesh."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.ops.ranking import rank_database, rank_database_sharded
+    from mdir_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(0)
+    for n in (64, 61):  # divisible and padded cases
+        vecs = rng.randn(32, n).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+        qvecs = rng.randn(32, 5).astype(np.float32)
+        qvecs /= np.linalg.norm(qvecs, axis=0, keepdims=True)
+        single = np.asarray(rank_database(jnp.asarray(vecs),
+                                          jnp.asarray(qvecs)))
+        sharded = np.asarray(rank_database_sharded(vecs, qvecs, make_mesh(8)))
+        np.testing.assert_array_equal(single, sharded)
