@@ -49,6 +49,58 @@ def batched_resize(batch, y0, y1, wy, x0, x1, wx):
     return jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx)
 
 
+class _Uplink:
+    """Bounded transfer/dispatch pipeline thread.
+
+    Host batch assembly (producer), host->device transfer + program launch
+    (this thread), and device compute overlap; the tunnel stays busy as long
+    as one chunk is always in flight. MDIR_TPU_UPLINK_THREAD=0 runs inline.
+    """
+
+    def __init__(self, launch, depth=2):
+        self.launch = launch
+        self.depth = depth
+        self.thread = None
+        self.queue = None
+        self.errors = []
+
+    def submit(self, payload):
+        if _os.environ.get("MDIR_TPU_UPLINK_THREAD", "1") == "0":
+            self.launch(*payload)
+            return
+        if self.thread is None:
+            import queue
+            import threading
+
+            self.queue = queue.Queue(maxsize=self.depth)
+
+            def _run():
+                while True:
+                    item = self.queue.get()
+                    if item is None:
+                        return
+                    try:
+                        self.launch(*item)
+                    except BaseException as exc:  # surfaced in drain()
+                        self.errors.append(exc)
+                        return
+
+            self.thread = threading.Thread(target=_run, daemon=True,
+                                           name="mdir-tpu-uplink")
+            self.thread.start()
+        if self.errors:
+            raise self.errors[0]
+        self.queue.put(payload)
+
+    def drain(self):
+        if self.thread is not None:
+            self.queue.put(None)
+            self.thread.join()
+            self.thread = None
+        if self.errors:
+            raise self.errors[0]
+
+
 def _analyze_wrappers(network):
     """Check the network's eval wrappers are the fusable pattern
     [cirwhiten?] [cirmultiscale?] [fakebatch?] and return (scales, whiten)."""
@@ -251,8 +303,7 @@ class StreamingExtractor:
         self.buffers = collections.defaultdict(list)  # bucket -> [(idx, arr)]
         self.saw_full = set()  # buckets that compiled a full-size program
         self.results = []  # (indices, device array), synced in finish()
-        self._uplink = None  # transfer/dispatch pipeline thread
-        self._uplink_error = []
+        self._uplink = None  # transfer/dispatch pipeline (_Uplink)
 
     def _bucket(self, arr):
         return (_round_up(arr.shape[0], self.bucket_multiple),
@@ -348,45 +399,13 @@ class StreamingExtractor:
         self.results.append((indices, vecs))  # async
 
     def _dispatch(self, payload):
-        """Pipeline chunk uploads on a dedicated thread: host batch assembly,
-        host->device transfer, and device compute overlap (the tunnel charges
-        per round trip, so keeping a transfer permanently in flight is what
-        saturates it). MDIR_TPU_UPLINK_THREAD=0 runs inline."""
-        if _os.environ.get("MDIR_TPU_UPLINK_THREAD", "1") == "0":
-            self._transfer_and_launch(*payload)
-            return
         if self._uplink is None:
-            import queue
-            import threading
-
-            self._queue = queue.Queue(maxsize=2)
-            self._uplink_error = []
-
-            def _run():
-                while True:
-                    item = self._queue.get()
-                    if item is None:
-                        return
-                    try:
-                        self._transfer_and_launch(*item)
-                    except BaseException as exc:  # surfaced in finish()
-                        self._uplink_error.append(exc)
-                        return
-
-            self._uplink = threading.Thread(target=_run, daemon=True,
-                                            name="mdir-tpu-uplink")
-            self._uplink.start()
-        if self._uplink_error:
-            raise self._uplink_error[0]
-        self._queue.put(payload)
+            self._uplink = _Uplink(self._transfer_and_launch)
+        self._uplink.submit(payload)
 
     def _drain_uplink(self):
         if self._uplink is not None:
-            self._queue.put(None)
-            self._uplink.join()
-            self._uplink = None
-            if self._uplink_error:
-                raise self._uplink_error[0]
+            self._uplink.drain()
 
     def _region_boxes(self, items, bsz, in_bucket):
         """Per-scale (B, R, 4) RMAC/Rpool region grids over each image's
@@ -594,20 +613,26 @@ def _composed_fused_fn(translator, embedder, device_normalize):
     e_module = embedder.module
     t_takes_train = _accepts_train(t_module)
 
-    def fn(t_vars, e_vars, batch, valid_scaled, rp_grid, shift_grid, mean, std,
-           msp):
+    def fn(t_vars, e_vars, batch, valid_scaled, ypack, xpack, mean, std, msp):
         if device_normalize:
             batch = batch.astype(jnp.float32) / 255.0
             batch = (batch - mean) / std
+        # packed (B, P, 4) f32 per axis: [idx0, idx1, weight, unpad-shift]
+        y0 = ypack[..., 0].astype(jnp.int32)
+        y1 = ypack[..., 1].astype(jnp.int32)
+        wy = ypack[..., 2]
+        x0 = xpack[..., 0].astype(jnp.int32)
+        x1 = xpack[..., 1].astype(jnp.int32)
+        wx = xpack[..., 2]
         # scaled + replicate-padded translator input, one gather
-        y0, y1, wy, x0, x1, wx = rp_grid
         xpad = jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx)
         if t_takes_train:
             t_out = t_module.apply(t_vars, xpad, train=False)
         else:
             t_out = t_module.apply(t_vars, xpad)
         # un-pad: shift the translated crop to the origin
-        ys, xs = shift_grid
+        ys = ypack[..., 3].astype(jnp.int32)
+        xs = xpack[..., 3].astype(jnp.int32)
         zero_y = jnp.zeros(ys.shape, jnp.float32)
         zero_x = jnp.zeros(xs.shape, jnp.float32)
         t0 = jax.vmap(_resize_one)(t_out, ys, ys, zero_y, xs, xs, zero_x)
@@ -680,6 +705,14 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
     buffers = collections.defaultdict(list)
     results = []
 
+    def launch(indices, batch, valid, ypack, xpack):
+        vecs = fused(t_vars, e_vars, jnp.asarray(batch), jnp.asarray(valid),
+                     jnp.asarray(ypack), jnp.asarray(xpack),
+                     mean, std, jnp.float32(msp))
+        results.append((indices, vecs))
+
+    uplink = _Uplink(launch)
+
     def submit(key, items):
         scale, _rb, (ph, pw) = key
         bsz = len(items)
@@ -687,14 +720,9 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
         rh_b, rw_b = key[1]
         batch = np.zeros((bsz, rh_b, rw_b, channels), host_dtype)
         valid = np.ones((bsz, 2), np.int32)
-        y0c = np.zeros((bsz, ph), np.int32)
-        y1c = np.zeros((bsz, ph), np.int32)
-        wyc = np.zeros((bsz, ph), np.float32)
-        x0c = np.zeros((bsz, pw), np.int32)
-        x1c = np.zeros((bsz, pw), np.int32)
-        wxc = np.zeros((bsz, pw), np.float32)
-        ysa = np.zeros((bsz, ph), np.int32)
-        xsa = np.zeros((bsz, pw), np.int32)
+        # packed per-axis transfer: [idx0, idx1, weight, unpad-shift]
+        ypack = np.zeros((bsz, ph, 4), np.float32)
+        xpack = np.zeros((bsz, pw, 4), np.float32)
 
         for bi, (idx, arr) in enumerate(items):
             rh, rw = arr.shape[:2]
@@ -716,16 +744,14 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
 
             sy = np.clip(np.arange(ph) - top, 0, sh - 1)
             sx = np.clip(np.arange(pw) - left, 0, sw - 1)
-            y0c[bi], y1c[bi], wyc[bi] = gy0[sy], gy1[sy], gwy[sy]
-            x0c[bi], x1c[bi], wxc[bi] = gx0[sx], gx1[sx], gwx[sx]
-            ysa[bi] = np.clip(np.arange(ph) + top, 0, ph - 1)
-            xsa[bi] = np.clip(np.arange(pw) + left, 0, pw - 1)
+            ypack[bi, :, 0], ypack[bi, :, 1], ypack[bi, :, 2] = \
+                gy0[sy], gy1[sy], gwy[sy]
+            xpack[bi, :, 0], xpack[bi, :, 1], xpack[bi, :, 2] = \
+                gx0[sx], gx1[sx], gwx[sx]
+            ypack[bi, :, 3] = np.clip(np.arange(ph) + top, 0, ph - 1)
+            xpack[bi, :, 3] = np.clip(np.arange(pw) + left, 0, pw - 1)
 
-        vecs = fused(t_vars, e_vars, jnp.asarray(batch), jnp.asarray(valid),
-                     tuple(jnp.asarray(a) for a in (y0c, y1c, wyc, x0c, x1c, wxc)),
-                     (jnp.asarray(ysa), jnp.asarray(xsa)),
-                     mean, std, jnp.float32(msp))
-        results.append(([i for i, _ in items], vecs))
+        uplink.submit(([i for i, _ in items], batch, valid, ypack, xpack))
 
     for i, arr in enumerate(loader):
         arr = np.asarray(arr)
@@ -740,6 +766,7 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
                 submit(key, buffers.pop(key))
     for key in list(buffers.keys()):
         submit(key, buffers.pop(key))
+    uplink.drain()
 
     for indices, vecs in results:
         host = np.asarray(vecs, np.float64)
