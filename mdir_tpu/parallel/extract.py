@@ -531,6 +531,13 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
     network.eval()
 
     analyzed = _analyze_wrappers(network) if hasattr(network, "wrappers") else None
+
+    # 2-net compositions (translator -> embedder): fused bucketed path
+    if analyzed is not None and _composable_sequential(network):
+        return extract_vectors_composed(network, images, image_size,
+                                        transform, bbxs=bbxs,
+                                        max_batch=batch_size)
+
     model = network.model
     if analyzed is not None and getattr(model, "is_descriptor_model", False) \
             and not _is_sequential(network) \

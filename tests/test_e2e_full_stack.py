@@ -124,3 +124,76 @@ def test_eval_cli_full_test_stack(full_root, clahe_checkpoint, tmp_path):
     for key in ("roxford.5k medium", "rparis.6k medium", "247tokyo.1k"):
         assert key in got, (key, result.stdout[-2000:])
         assert 0.0 <= got[key] <= 100.0
+
+
+@pytest.fixture(scope="module")
+def composition_checkpoint(full_root):
+    """Translator (pixel mapper) -> AlexNet-GeM embedder, saved in the
+    Checkpoints directory layout (the eval_composition.yml artifact shape)."""
+    from mdir_tpu.learning.checkpoints import save_state
+    from mdir_tpu.learning.network import (CirNetwork, SequentialNetwork,
+                                           SingleNetwork)
+    from mdir_tpu.models import initialize_model
+
+    t_params = {"architecture": "pixelconv_regr", "in_channels": 3,
+                "out_channels": 3, "hidden": [8]}
+    translator = SingleNetwork(
+        initialize_model(dict(t_params)),
+        SingleNetwork.NetworkParams(
+            model=t_params,
+            runtime={"wrappers": "",
+                     "data": {"mean_std": [[0.5] * 3, [0.5] * 3],
+                              "transforms": "pil2np | totensor | normalize"}}))
+    e_params = {"architecture": "cirnet", "cir_architecture": "alexnet",
+                "local_whitening": False, "pooling": "gem",
+                "regional": False, "whitening": False, "pretrained": False}
+    embedder = CirNetwork(
+        initialize_model(dict(e_params)),
+        CirNetwork.NetworkParams(model=e_params, runtime={"wrappers": ""}))
+    net = SequentialNetwork({"translate": translator, "embed": embedder},
+                            ["translate", "embed"])
+
+    ckpt_dir = full_root / "composition" / "epochs"
+    ckpt_dir.mkdir(parents=True)
+    state = net.state_dict()
+    state["net"]["_network_names"] = [k for k in state if k != "net"]
+    for key, sub in state.items():
+        save_state(sub, ckpt_dir / (key + "_best.ckpt"))
+    return str(ckpt_dir)
+
+
+def test_eval_cli_composition_stack(full_root, composition_checkpoint,
+                                    clahe_checkpoint, tmp_path):
+    """The eval_composition.yml shape through the CLI: a SequentialNetwork
+    checkpoint + cirwhiten/multiscale wrappers over the 3 datasets, riding
+    the fused composed extraction path."""
+    import yaml
+
+    _, whit_path = clahe_checkpoint
+    override = {
+        "network": {
+            "path": composition_checkpoint,
+            "runtime": {"wrappers": {
+                "train": None,
+                "eval": {"0_cirwhiten": {"whitening": whit_path,
+                                         "dimensions": None},
+                         "1_cirmultiscale": {"scales": True}}}},
+        },
+        "validation": {name: {"criterion": {"image_size": 96}}
+                       for name in ("roxford5k", "rparis6k", "247tokyo1k")},
+    }
+    override_path = tmp_path / "local_composition.yml"
+    with open(override_path, "w") as handle:
+        yaml.safe_dump(override, handle)
+
+    here = os.path.dirname(__file__)
+    eval_yml = os.path.join(here, "..", "examples", "iccv19", "eval.yml")
+    script = os.path.join(here, "..", "examples", "iccv19", "eval.py")
+    env = dict(os.environ, MDIR_TPU_SKIP_DOWNLOAD="1", JAX_PLATFORMS="cpu",
+               MDIR_TPU_ROOT=str(full_root))
+    result = subprocess.run(
+        [sys.executable, script, eval_yml, str(override_path)],
+        capture_output=True, text=True, env=env, timeout=1800)
+    assert result.returncode == 0, result.stderr[-3000:]
+    for key in ("roxford.5k medium", "rparis.6k medium", "247tokyo.1k"):
+        assert key in result.stdout, result.stdout[-2000:]
