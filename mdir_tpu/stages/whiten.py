@@ -1,10 +1,12 @@
 """Whitening stages: apply, learn Lw (with subset retry), learn PCA, paste.
 
-Parity with ``mdir/stages/whiten.py``: same signatures
-``stage(params, data) -> (metadata, *out)``, float64 host math, Lw retry on
-shrinking random query subsets when the covariance is not positive definite,
-and concat + PCA-reduce + L2 normalize.
+Same stage contracts as ``mdir/stages/whiten.py`` — signatures
+``stage(params, data) -> (metadata, *out)``, float64 host math, metadata
+timing/stat keys, and the Lw behavior of retrying on shrinking random query
+subsets when the difference covariance is not positive definite — built
+around a shared timing/resource helper instead of per-stage boilerplate.
 """
+import contextlib
 import sys
 import time
 
@@ -13,6 +15,20 @@ import numpy as np
 from ..ops.whitening import pcawhitenlearn, whitenapply, whitenlearn
 from ..tools import stats
 
+LW_MAX_TRIALS = 100
+LW_MAX_EXCLUDED = 0.95
+
+
+@contextlib.contextmanager
+def _timed(metadata, timing_key):
+    """Fill ``metadata`` with {timings: {key}, resource_usage} around a block."""
+    resources = stats.ResourceUsage()
+    start = time.time()
+    yield
+    metadata["timings"] = {timing_key: round(time.time() - start, 2)}
+    metadata["resource_usage"] = \
+        resources.take_current_stats().get_resources()
+
 
 def whiten(params, data):
     """Apply pre-computed whitening."""
@@ -20,15 +36,24 @@ def whiten(params, data):
     assert not params, params.keys()
     whitening, names, values = data
     assert len(names) == len(values)
-    resources = stats.ResourceUsage()
 
-    time0 = time.time()
-    whitened = np.asarray(whitenapply(values.T, whitening["m"], whitening["P"],
-                                      dimensions))
-    timing = time.time() - time0
-    metadata = {"timings": {"whitening_apply": round(timing, 2)},
-                "resource_usage": resources.take_current_stats().get_resources()}
+    metadata = {}
+    with _timed(metadata, "whitening_apply"):
+        whitened = np.asarray(
+            whitenapply(values.T, whitening["m"], whitening["P"], dimensions))
     return metadata, names, whitened.T
+
+
+def _lw_subset(qidxs, pidxs, trial):
+    """Query/positive pairs for one Lw attempt: everything on trial 0, then
+    random subsets shrinking linearly toward (1 - LW_MAX_EXCLUDED)."""
+    if trial == 0:
+        return qidxs, pidxs
+    keep = int(len(qidxs) * (1 - trial / LW_MAX_TRIALS * LW_MAX_EXCLUDED))
+    picked = np.random.permutation(len(qidxs))[:keep]
+    print("Using subset of queries (%s/%s) trial %s"
+          % (len(picked), len(qidxs), trial), file=sys.stderr)
+    return qidxs[picked], pidxs[picked]
 
 
 def learn_lw_whitening(params, data):
@@ -43,35 +68,23 @@ def learn_lw_whitening(params, data):
     qidxs = np.array([name_index[x] for x in queries])
     pidxs = np.array([name_index[x] for x in positives])
 
-    resources = stats.ResourceUsage()
+    metadata = {}
+    with _timed(metadata, "whitening_learn"):
+        for trial in range(LW_MAX_TRIALS):
+            qwhit, pwhit = _lw_subset(qidxs, pidxs, trial)
+            try:
+                whit_m, whit_p = whitenlearn(values, qwhit, pwhit)
+                break
+            except np.linalg.LinAlgError as exc:
+                if "positive definite" not in str(exc) \
+                        or trial >= LW_MAX_TRIALS - 1:
+                    raise
 
-    time0 = time.time()
-    max_trials = 100
-    max_excluded = 0.95
-    trial = 0
-    while True:
-        try:
-            if trial == 0:
-                qwhit, pwhit = qidxs, pidxs
-            else:
-                idxs = np.random.permutation(len(qidxs))[
-                    :int(len(qidxs) * (1 - trial / max_trials * max_excluded))]
-                print("Using subset of queries (%s/%s) trial %s"
-                      % (len(idxs), len(qidxs), trial), file=sys.stderr)
-                qwhit, pwhit = qidxs[idxs], pidxs[idxs]
-            whit_m, whit_p = whitenlearn(values, qwhit, pwhit)
-            break
-        except np.linalg.LinAlgError as exc:
-            if "positive definite" not in str(exc) or trial >= max_trials - 1:
-                raise
-            trial += 1
-    timing = time.time() - time0
-
-    metadata = {"stats": {"failed_times": trial,
-                          "vectors_used": round(len(qwhit) / float(len(qidxs)), 2),
-                          "vectors_total": len(qidxs)},
-                "timings": {"whitening_learn": round(timing, 2)},
-                "resource_usage": resources.take_current_stats().get_resources()}
+    metadata["stats"] = {
+        "failed_times": trial,
+        "vectors_used": round(len(qwhit) / float(len(qidxs)), 2),
+        "vectors_total": len(qidxs),
+    }
     return metadata, {"m": whit_m, "P": whit_p}
 
 
@@ -80,16 +93,19 @@ def learn_pca_whitening(params, data):
     shrink = params.pop("shrink", None) or None
     assert not params
     values, = data
-    values = values.astype(np.float64).T
 
-    resources = stats.ResourceUsage()
-    time0 = time.time()
-    whit_m, whit_p = pcawhitenlearn(values, shrink)
-    timing = time.time() - time0
-
-    metadata = {"timings": {"whitening_learn": round(timing, 2)},
-                "resource_usage": resources.take_current_stats().get_resources()}
+    metadata = {}
+    with _timed(metadata, "whitening_learn"):
+        whit_m, whit_p = pcawhitenlearn(values.astype(np.float64).T, shrink)
     return metadata, {"m": whit_m, "P": whit_p}
+
+
+def _pca_project(value, dimensions):
+    """Project onto the top eigenvectors of the (centered) gram matrix."""
+    centered = value - np.mean(value)
+    eigval, eigvec = np.linalg.eig(centered.T.dot(centered))
+    top = eigvec[:, np.argsort(eigval)[-dimensions:]]
+    return centered.dot(top.dot(top.T))
 
 
 def paste_pca_normalize(params, data):
@@ -102,19 +118,10 @@ def paste_pca_normalize(params, data):
         return {}, data[0]
 
     value = np.concatenate(data, axis=1)
-
+    metadata = {}
     if dimensions:
-        resources = stats.ResourceUsage()
-        time0 = time.time()
-        value = value - np.mean(value)
-        eigval, eigvec = np.linalg.eig(value.T.dot(value))
-        vecs = eigvec[:, np.argsort(eigval)[-dimensions:]]
-        value = value.dot(vecs.dot(vecs.T))
-        timing = time.time() - time0
-        metadata = {"timings": {"pca_compute": round(timing, 2)},
-                    "resource_usage": resources.take_current_stats().get_resources()}
-    else:
-        metadata = {}
+        with _timed(metadata, "pca_compute"):
+            value = _pca_project(value, dimensions)
 
     value = value / np.expand_dims(np.linalg.norm(value, axis=1), axis=1)
     return metadata, value
