@@ -332,31 +332,63 @@ def _luts_dynamic(hist, clim, scale):
     return jnp.clip(jnp.round(cdf * scale), 0, 255)  # f32 u8-values
 
 
-def _interp_dynamic(vals, luts, inv_th, inv_tw, gh, gw):
-    """4-neighbor tile-LUT blend with traced tile sizes; f32 u8-values."""
+def _axis_tile_weights(n, inv_t, tiles):
+    """Two (n, tiles) blend-weight maps along one axis — the lower and upper
+    tile neighbors kept separate so border-clipped pixels (i1 == i2) still
+    round like cv2's two-product sum (cv2 coordinates ``i/tile - 0.5``)."""
+    f = jnp.arange(n, dtype=jnp.float32) * inv_t - jnp.float32(0.5)
+    i1 = jnp.floor(f).astype(jnp.int32)
+    alpha = (f - i1)[:, None]
+    i2 = jnp.clip(i1 + 1, 0, tiles - 1)
+    i1 = jnp.clip(i1, 0, tiles - 1)
+    idx = jnp.arange(tiles)[None, :]
+    return ((idx == i1[:, None]) * (1.0 - alpha),
+            (idx == i2[:, None]) * alpha)
+
+
+def _interp_dynamic(vals, luts, inv_th, inv_tw, gh, gw, chunk=16):
+    """4-neighbor tile-LUT blend with traced tile sizes; f32 u8-values.
+
+    Gathers are hostile on TPU (the naive 4-lookup blend costs ~60 ms/img
+    at 768x1024), so the blend is reformulated as contractions: collapse
+    the tile-row axis with the per-row weights, broadcast the tile-column
+    weights into per-pixel-value curves, and select each pixel's value by
+    a one-hot product — MXU/VPU work only, scanned over row chunks so the
+    (chunk, W, 256) intermediate stays small.
+    """
     bh, bw = vals.shape
-    tyf = jnp.arange(bh, dtype=jnp.float32) * inv_th - jnp.float32(0.5)
-    txf = jnp.arange(bw, dtype=jnp.float32) * inv_tw - jnp.float32(0.5)
-    ty1 = jnp.floor(tyf).astype(jnp.int32)
-    tx1 = jnp.floor(txf).astype(jnp.int32)
-    ya = (tyf - ty1)[:, None]
-    xa = (txf - tx1)[None, :]
-    ty2 = jnp.clip(ty1 + 1, 0, gh - 1)
-    tx2 = jnp.clip(tx1 + 1, 0, gw - 1)
-    ty1 = jnp.clip(ty1, 0, gh - 1)
-    tx1 = jnp.clip(tx1, 0, gw - 1)
+    wy1, wy2 = _axis_tile_weights(bh, inv_th, gh)  # (BH, gh) each
+    wx1, wx2 = _axis_tile_weights(bw, inv_tw, gw)  # (BW, gw) each
+    luts3 = luts.reshape(gh, gw, HIST_SIZE)
 
-    flat = luts.reshape(-1)
+    # cv2 blends x first then y, each as (lo*w_lo + hi*w_hi); every
+    # contraction below adds one nonzero product plus exact zeros, so the
+    # result rounds bit-identically to the per-pixel 4-lookup formula
+    def blend(w_lo, w_hi, spec, table):
+        return (jnp.einsum(spec, w_lo, table,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum(spec, w_hi, table,
+                             preferred_element_type=jnp.float32))
 
-    def lookup(tyv, txv):
-        tile = tyv[:, None] * gw + txv[None, :]
-        return jnp.take(flat, tile * HIST_SIZE + vals)
+    lut_x = blend(wx1, wx2, "xt,gtb->xgb", luts3)  # (BW, gh, 256)
 
-    xa1 = 1.0 - xa
-    ya1 = 1.0 - ya
-    res = (lookup(ty1, tx1) * xa1 + lookup(ty1, tx2) * xa) * ya1 \
-        + (lookup(ty2, tx1) * xa1 + lookup(ty2, tx2) * xa) * ya
-    return jnp.clip(jnp.round(res), 0, 255)
+    chunk = min(chunk, bh)
+    while bh % chunk:
+        chunk -= 1
+    vals_c = vals.reshape(bh // chunk, chunk, bw)
+    wy1_c = wy1.reshape(bh // chunk, chunk, gh)
+    wy2_c = wy2.reshape(bh // chunk, chunk, gh)
+    bins = jnp.arange(HIST_SIZE, dtype=jnp.int32)
+
+    def body(_, xs):
+        v, w1, w2 = xs
+        curves = blend(w1, w2, "rg,xgb->rxb", lut_x)
+        # select each pixel's own value from its curve (one-hot product)
+        onehot = (v[..., None] == bins).astype(jnp.float32)
+        return None, jnp.sum(curves * onehot, axis=-1)
+
+    _, res = jax.lax.scan(body, None, (vals_c, wy1_c, wy2_c))
+    return jnp.clip(jnp.round(res.reshape(bh, bw)), 0, 255)
 
 
 def clahe_u8_bucketed_jax(batch_vals, aux, grid=(8, 8)):

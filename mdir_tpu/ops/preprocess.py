@@ -217,18 +217,27 @@ def make_bucketed_chain(chain):
 
     def fn(batch_u8, clahe_aux):
         x = batch_u8[..., :3].astype(jnp.float32) / 255.0
+        raw = True  # x still == batch_u8/255: the gather-free u8 path applies
         for name, args in chain.steps:
             if name == "apply_clahe":
                 clip, space, grid = args
                 chan = clahe_chan(batch_u8, clahe_aux, (grid, grid))
-                spc = cs.rgb2normspace(x[..., :3], space)
+                if raw:
+                    spc = cs.rgb_u8_to_normspace(batch_u8[..., :3], space)
+                else:
+                    spc = cs.rgb2normspace(x[..., :3], space)
                 x = cs.normspace2rgb(spc.at[..., 0].set(chan), space)
+                raw = False
             elif name == "add_clahe_fromrgb":
                 clip, space, grid = args
                 chan = clahe_chan(batch_u8, clahe_aux, (grid, grid))
                 x = jnp.concatenate([x, chan[..., None]], axis=-1)
             elif name == "tospace":
-                x = cs.rgb2normspace(x[..., :3], args[0])
+                if raw:
+                    x = cs.rgb_u8_to_normspace(batch_u8[..., :3], args[0])
+                else:
+                    x = cs.rgb2normspace(x[..., :3], args[0])
+                raw = False
             elif name == "normalize":
                 c = x.shape[-1]
                 x = (x - mean[:c]) / std[:c]
