@@ -174,13 +174,15 @@ def chain_from_transform(transform):
             steps.append(("normalize", ()))
         elif isinstance(t, T.ApplyClahe) and not isinstance(
                 t, T.CreateClahedImage):
-            p = t.params
-            steps.append(("apply_clahe", (p["clip_limit"], p["colorspace"],
-                                          p["grid_size"])))
+            p = t.params  # DSL-parsed params may arrive as strings
+            steps.append(("apply_clahe", (float(int(p["clip_limit"])),
+                                          str(p["colorspace"]),
+                                          int(p["grid_size"]))))
         elif isinstance(t, T.AddClaheFromRgb):
             p = t.params
-            steps.append(("add_clahe_fromrgb",
-                          (p["clip_limit"], p["colorspace"], p["grid_size"])))
+            steps.append(("add_clahe_fromrgb", (float(int(p["clip_limit"])),
+                                                str(p["colorspace"]),
+                                                int(p["grid_size"]))))
         elif isinstance(t, T.ToColorspace):
             if t.params["colorspace"].lower() == "gray":
                 return None  # changes channel count pre-CLAHE; host path

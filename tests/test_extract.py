@@ -275,3 +275,23 @@ def test_batched_regional_equals_wrapper_path(rng):
     ref = np.stack([np.asarray(network(a)).reshape(-1) for a in arrays],
                    axis=1)
     np.testing.assert_allclose(ref, fast, rtol=1e-4, atol=1e-5)
+
+
+def test_uplink_surfaces_worker_errors(rng, alexnet_model):
+    """Exceptions raised on the transfer/dispatch thread surface to the
+    caller at finish() instead of being lost with the thread."""
+    from mdir_tpu.parallel.extract import StreamingExtractor
+
+    extractor = StreamingExtractor(alexnet_model, scales=[1], msp=1.0,
+                                   max_batch=2)
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("uplink boom")
+
+    extractor._transfer_and_launch = boom
+    extractor.add(0, rng.rand(64, 64, 3).astype(np.float32))
+    extractor.add(1, rng.rand(64, 64, 3).astype(np.float32))  # full chunk
+    with pytest.raises(RuntimeError, match="uplink boom"):
+        extractor.add(2, rng.rand(64, 64, 3).astype(np.float32))
+        extractor.add(3, rng.rand(64, 64, 3).astype(np.float32))
+        extractor.finish(4)

@@ -68,3 +68,54 @@ def test_supports_chain():
     assert supports_chain("pil2np | apply_clahe | totensor | normalize")
     assert not supports_chain("pil2np | mirror | totensor | normalize")
     assert not supports_chain("pil2np | totensor")
+
+
+def test_bucketed_chain_fuzz_vs_host():
+    """Fuzz the production device chain against the host transform chain
+    across shapes, clip limits, grids, and colorspaces."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning.train_step import pad_image_batch
+    from mdir_tpu.ops.clahe import clahe_bucket_aux
+    from mdir_tpu.ops.preprocess import chain_from_transform, \
+        make_bucketed_chain
+
+    rng = np.random.RandomState(5)
+    # (chain, channels, mean tol, frac(|diff|>0.05) tol) — LUV's u/v
+    # channels divide by L and amplify ~1e-3 colorspace deltas on
+    # near-black pixels, so its outlier budget is wider
+    cases = [
+        ("pil2np | apply_clahe:3:lab:8 | totensor | normalize", 3, 3e-3, 1e-3),
+        ("pil2np | apply_clahe:4:luv:4 | totensor | normalize", 3, 6e-3, 5e-3),
+        ("pil2np | add_clahe_fromrgb:2:16:lab | totensor | normalize", 4,
+         3e-3, 1e-3),
+        ("pil2np | totensor | normalize", 3, 1e-6, 0.0),
+    ]
+    for chain_str, channels, mean_tol, frac_tol in cases:
+        mean_std = [[0.45] * channels, [0.25] * channels]
+        transform = initialize_transforms(chain_str, mean_std)
+        chain = chain_from_transform(transform)
+        assert chain is not None, chain_str
+        fn = make_bucketed_chain(chain)
+
+        imgs = [(rng.rand(40 + rng.randint(60), 40 + rng.randint(60), 3)
+                 * 255).astype(np.uint8) for _ in range(3)]
+        raw = [chain.host_input(im) for im in imgs]
+        batch, valid = pad_image_batch(raw, multiple=16)
+        aux = None
+        if chain.clahe_params:
+            clip, grid = chain.clahe_params
+            aux = {k: jnp.asarray(v) for k, v in clahe_bucket_aux(
+                [tuple(v) for v in valid], batch.shape[1:3],
+                clip_limit=clip, grid=grid).items()}
+        out = np.asarray(fn(jnp.asarray(batch), aux))
+
+        from PIL import Image
+
+        for i, im in enumerate(imgs):
+            host = transform(Image.fromarray(im))
+            h, w = im.shape[:2]
+            diff = np.abs(np.asarray(host) - out[i, :h, :w])
+            assert diff.mean() < mean_tol, (chain_str, i, diff.mean())
+            assert (diff > 0.05).mean() <= frac_tol, (chain_str, i, diff.max())
