@@ -145,7 +145,7 @@ def main():
     arch = os.environ.get("BENCH_ARCH", "resnet101")
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024"))
     n_images = int(os.environ.get("BENCH_IMAGES", "32"))
-    max_batch = int(os.environ.get("BENCH_MAX_BATCH", "8"))
+    max_batch = int(os.environ.get("BENCH_MAX_BATCH", "16"))
 
     model = initialize_model({
         "architecture": "cirnet", "cir_architecture": arch,

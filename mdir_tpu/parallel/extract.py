@@ -665,8 +665,6 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
                              max_batch=MAX_BATCH,
                              bucket_multiple=BUCKET_MULTIPLE):
     """Bucketed exact extraction for a 2-net SequentialNetwork composition."""
-    import os
-
     from ..learning.wrappers import ReflectPadMakeDivisible
 
     first_name, last_name = network.sequence
