@@ -208,19 +208,27 @@ class SupervisedEpoch:
                     break
         logger("data/%s" % label, dbg, "blob")
 
+    def _mine_epoch_tuples(self, network, device, logger, watch):
+        """Eval-mode prepare_epoch hook (hard-negative mining) + stats."""
+        dataset = self.data_loader.dataset
+        if not hasattr(dataset, "prepare_epoch"):
+            return
+        network.eval()
+        mining_stats = dataset.prepare_epoch(network, device)
+        watch.lap("prepare_data")
+        total = len(self.data_loader)
+        if mining_stats:
+            logger(None, total, "learning/data_mining", mining_stats,
+                   "scalar/loss")
+        logger(None, total, "learning/prepare_epoch",
+               watch.reset(include_total=False), "scalar/time")
+
     def iterate(self, network, optimizer, device, logger):
         train_loader = self.data_loader
         stopwatch = StopWatch()
 
         network.eval()
-        if hasattr(train_loader.dataset, "prepare_epoch"):
-            metadata = train_loader.dataset.prepare_epoch(network, device)
-            stopwatch.lap("prepare_data")
-            if metadata:
-                logger(None, len(train_loader), "learning/data_mining",
-                       metadata, "scalar/loss")
-            logger(None, len(train_loader), "learning/prepare_epoch",
-                   stopwatch.reset(include_total=False), "scalar/time")
+        self._mine_epoch_tuples(network, device, logger, stopwatch)
 
         if self.epoch == 0:
             self._log_parameter_weights(
