@@ -208,3 +208,89 @@ def clahe_u8_pallas_full(src, clip_limit=4.0, grid=(8, 8), interpret=False):
         interpret=interpret,
     )(src.astype(jnp.int32), luts)
     return out.astype(jnp.uint8)
+
+
+def _interp_dyn_kernel(scal_ref, img_ref, luts_ref, out_ref, *, gh, gw,
+                       rows_per_block):
+    """Bucketed-variant interpolation: per-image tile sizes arrive as
+    scalar-prefetch reciprocals (inv_th, inv_tw), per-image LUTs as a block.
+    Grid: (B, row_blocks). Same MXU formulation as ``_interp_kernel``."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    img = img_ref[0]  # (R, W) int32 pixel values
+    r, w = img.shape
+    luts_t = luts_ref[0].T  # (256, T)
+    n_tiles = gh * gw
+    inv_th = scal_ref[b, 0]
+    inv_tw = scal_ref[b, 1]
+
+    # per-column quantities (shared by all rows of this image)
+    x_abs = jax.lax.broadcasted_iota(jnp.int32, (w, n_tiles), 0)
+    gj_t = jax.lax.broadcasted_iota(jnp.int32, (w, n_tiles), 1) % gw
+    gi_t = jax.lax.broadcasted_iota(jnp.int32, (w, n_tiles), 1) // gw
+    txf = x_abs.astype(jnp.float32) * inv_tw - jnp.float32(0.5)
+    tx1 = jnp.floor(txf).astype(jnp.int32)
+    xa = txf - tx1.astype(jnp.float32)
+    tx2 = jnp.clip(tx1 + 1, 0, gw - 1)
+    tx1 = jnp.clip(tx1, 0, gw - 1)
+    wcol = (gj_t == tx1).astype(jnp.float32) * (1.0 - xa) \
+        + (gj_t == tx2).astype(jnp.float32) * xa  # (W, T)
+
+    bins = jax.lax.broadcasted_iota(jnp.int32, (w, 256), 1)
+
+    for i in range(rows_per_block):
+        y = t * rows_per_block + i
+        tyf = y.astype(jnp.float32) * inv_th - jnp.float32(0.5)
+        ty1 = jnp.floor(tyf).astype(jnp.int32)
+        ya = tyf - ty1.astype(jnp.float32)
+        ty2 = jnp.clip(ty1 + 1, 0, gh - 1)
+        ty1 = jnp.clip(ty1, 0, gh - 1)
+        wrow = (gi_t == ty1).astype(jnp.float32) * (1.0 - ya) \
+            + (gi_t == ty2).astype(jnp.float32) * ya  # (W, T)
+
+        onehot = (img[i, :][:, None] == bins).astype(jnp.float32)  # (W, 256)
+        per_tile = jnp.dot(onehot, luts_t,
+                           preferred_element_type=jnp.float32)  # (W, T)
+        res = jnp.sum(per_tile * (wrow * wcol), axis=1)  # (W,)
+        out_ref[0, i, :] = jnp.clip(jnp.round(res), 0, 255)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "interpret"))
+def clahe_interp_bucketed_pallas(batch_vals, luts, inv_th, inv_tw,
+                                 grid=(8, 8), interpret=False):
+    """Tile-LUT interpolation for a padded bucket as one Pallas kernel.
+
+    batch_vals (B, BH, BW) int32 u8-values, luts (B, T, 256) f32, inv_th/
+    inv_tw (B,) f32 host-computed reciprocals -> (B, BH, BW) f32 u8-values.
+    Within FMA rounding of the XLA contraction path (which is cv2-bit-exact);
+    exact in interpret mode.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gh, gw = grid
+    b, bh, bw = batch_vals.shape
+    rows_per_block = 8 if bh % 8 == 0 else 1
+    n_blocks = bh // rows_per_block
+
+    scalars = jnp.stack([inv_th, inv_tw], axis=1)  # (B, 2)
+    kernel = functools.partial(_interp_dyn_kernel, gh=gh, gw=gw,
+                               rows_per_block=rows_per_block)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, rows_per_block, bw), lambda i, t, *_: (i, t, 0)),
+            pl.BlockSpec((1, gh * gw, 256), lambda i, t, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows_per_block, bw),
+                               lambda i, t, *_: (i, t, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, bh, bw), jnp.float32),
+        interpret=interpret,
+    )(scalars, batch_vals, luts)

@@ -50,3 +50,40 @@ def test_clahe_pallas_full_matches_numpy(rng):
     ref = clahe_u8_np(src)
     out = np.asarray(clahe_u8_pallas_full(jnp.asarray(src), interpret=True))
     np.testing.assert_array_equal(ref, out)
+
+
+def test_clahe_interp_bucketed_pallas_close():
+    """The dynamic-extent Pallas interpolation (MDIR_TPU_PALLAS=1 path)
+    matches the bit-exact XLA contraction within 1 u8 level (the kernel
+    premultiplies the separable blend weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdir_tpu.ops.clahe import (clahe_bucket_aux, clahe_u8_bucketed_jax,
+                                    _hist_dynamic, _luts_dynamic)
+    from mdir_tpu.ops.clahe_pallas import clahe_interp_bucketed_pallas
+
+    rng = np.random.RandomState(4)
+    shapes = [(57, 43), (100, 91), (128, 77)]
+    bh, bw = 128, 128
+    batch = np.zeros((len(shapes), bh, bw), np.int32)
+    for i, (h, w) in enumerate(shapes):
+        batch[i, :h, :w] = rng.randint(0, 256, (h, w))
+    aux = {k: jnp.asarray(v) for k, v in clahe_bucket_aux(
+        shapes, (bh, bw), 4.0, (8, 8)).items()}
+    ref = np.asarray(clahe_u8_bucketed_jax(jnp.asarray(batch), aux))
+
+    def tile_luts(vals, rs, cs_, rt, ct, clim, scale):
+        padded = jnp.take(jnp.take(vals, rs, 0), cs_, 1)
+        hist = _hist_dynamic(padded, rt, ct, 8, 8)
+        return _luts_dynamic(hist.reshape(64, 256), clim, scale)
+
+    luts = jax.vmap(tile_luts)(jnp.asarray(batch), aux["row_src"],
+                               aux["col_src"], aux["row_tile"],
+                               aux["col_tile"], aux["clim"], aux["scale"])
+    out = np.asarray(clahe_interp_bucketed_pallas(
+        jnp.asarray(batch), luts, aux["inv_th"], aux["inv_tw"],
+        interpret=True))
+    for i, (h, w) in enumerate(shapes):
+        d = np.abs(ref[i, :h, :w] - out[i, :h, :w])
+        assert d.max() <= 1.0, (shapes[i], d.max())
