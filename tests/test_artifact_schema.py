@@ -1,0 +1,69 @@
+"""The published-artifact format end-to-end: a torch-saved checkpoint in the
+reference's exact schema (``mdir/learning/network.py:142-150`` —
+``{"net": {type, frozen, network_params, model_state}}`` with torch OIHW
+tensors and cirtorch param naming) must load through ``load_network`` and
+produce torch-identical descriptors. This is the file shape of
+``alex_clahe_sfmnd0.25-4142b192.pth`` (eval_test.yml's network.path), so the
+staged-artifact acceptance run only swaps in the real bytes.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+MODEL_PARAMS = {"architecture": "cirnet", "cir_architecture": "alexnet",
+                "local_whitening": False, "pooling": "gem",
+                "regional": False, "whitening": False, "pretrained": False}
+MEAN_STD = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+
+
+def _torch_alexnet_features():
+    from tests.test_parity_pipeline import _torch_alexnet_features as f
+
+    return f()
+
+
+def test_reference_schema_pth_roundtrip(tmp_path, rng):
+    import torch.nn as tnn
+
+    from mdir_tpu.learning import load_network
+    from tests.test_parity_pipeline import _torch_forward
+
+    torch.manual_seed(0)
+    feats = _torch_alexnet_features().eval()
+    p_value = 2.8
+
+    # cirtorch ImageRetrievalNet state naming: features.<i>.*, pool.p
+    model_state = {"features.%s" % k: v for k, v in feats.state_dict().items()}
+    model_state["pool.p"] = torch.tensor([p_value])
+    # the on-disk artifact holds the INNER dict; Checkpoints.load_network
+    # re-wraps it under "net" (reference checkpoints.py:145-155)
+    checkpoint = {
+        "type": "CirNetwork",
+        "frozen": True,
+        "network_params": {
+            "model": dict(MODEL_PARAMS),
+            "runtime": {
+                "wrappers": "",
+                "data": {"mean_std": MEAN_STD,
+                         "transforms":
+                             "pil2np | apply_clahe | totensor | normalize"},
+            },
+        },
+        "model_state": model_state,
+    }
+    pth = tmp_path / "alex_synthetic.pth"
+    torch.save(checkpoint, pth)
+
+    network = load_network({"path": str(pth), "runtime": None}).eval()
+    # the checkpoint-embedded runtime (CLAHE transforms) must survive
+    assert "apply_clahe" in network.network_params.runtime["data"]["transforms"]
+
+    img = rng.rand(96, 120, 3).astype(np.float32)
+    ours = np.asarray(network(img)).reshape(-1)
+
+    with torch.no_grad():
+        x = torch.tensor(img.transpose(2, 0, 1))[None]
+        ref = _torch_forward(feats, torch.tensor(p_value), x).numpy().reshape(-1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-4)
