@@ -138,6 +138,39 @@ def _measure_resident(model, args, compute_dtype=None, reps=4):
     return rate, tflops, last
 
 
+def _measure_chain_resident(model, mean_std, max_batch, shape, scales):
+    """Chip-side rate of the fused apply_clahe chain (uint8 RGBL resident)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.ops.clahe import clahe_bucket_aux
+    from mdir_tpu.ops.preprocess import chain_from_transform
+    from mdir_tpu.parallel.extract import _get_fused
+
+    chain = chain_from_transform(initialize_transforms(
+        "pil2np | apply_clahe | totensor | normalize", list(mean_std)))
+    h, w = shape
+    rng = np.random.RandomState(2)
+    batch = jax.device_put(
+        rng.randint(0, 256, (max_batch, h, w, 4)).astype(np.uint8))
+    args = _resident_args(model, mean_std, max_batch, shape, scales)
+    aux = {k: jnp.asarray(v) for k, v in clahe_bucket_aux(
+        [(h, w)] * max_batch, (h, w), *chain.clahe_params).items()}
+    fused = _get_fused(model.module, scales, False, False, None, chain=chain)
+    # (variables, batch, valid, grids, clahe_aux, boxes, msp, P, m, mean, std)
+    zero = jnp.zeros((0,), jnp.float32)
+    call = (model.variables, batch, args[1], args[2], aux, None,
+            jnp.float32(3.0), zero, zero, zero, zero)
+    out = fused(*call)
+    _sync(out)
+    reps = 4
+    start = time.time()
+    outs = [fused(*call) for _ in range(reps)]
+    _ = [np.asarray(o) for o in outs]
+    return reps * max_batch / (time.time() - start)
+
+
 def main():
     from mdir_tpu.models import initialize_model
     from mdir_tpu.parallel.extract import extract_vectors_batched
@@ -258,6 +291,14 @@ def main():
             result["pallas_error"] = str(exc)[:200]
         finally:
             os.environ.pop("MDIR_TPU_PALLAS", None)
+
+        # the round-2 flagship: the CLAHE photometric chain fused on device
+        try:
+            result["clahe_chain_device_resident_imgs_per_sec"] = round(
+                _measure_chain_resident(model, mean_std, max_batch,
+                                        shapes[0], tuple(scales)), 1)
+        except Exception as exc:
+            result["clahe_chain_error"] = str(exc)[:200]
 
     print(json.dumps(result))
     return 0
