@@ -171,6 +171,40 @@ def _measure_chain_resident(model, mean_std, max_batch, shape, scales):
     return reps * max_batch / (time.time() - start)
 
 
+def _measure_train_step(model, reps=3):
+    """Training-step rate at the reference's production tuple geometry:
+    5 tuples x (q, p, 5 negatives) at image_size 362 (cirtorch train.py
+    defaults), whole-batch contrastive step with size-gated remat."""
+    import jax
+
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.learning.train_step import TrainStep, prepare_batch
+    from mdir_tpu.optim.criteria import initialize_criterion
+
+    network = CirNetwork(model, CirNetwork.NetworkParams(
+        model={}, runtime={"wrappers": ""}))
+    criterion = initialize_criterion(
+        {"loss": "contrastive", "margin": 0.7, "eps": 1e-6})
+    step = TrainStep(network, criterion, batch_average=True)
+
+    rng = np.random.RandomState(3)
+    tuples = [[rng.rand(362, 362, 3).astype(np.float32) for _ in range(7)]
+              for _ in range(5)]
+    targets = [np.array([-1.0, 1.0] + [0.0] * 5, np.float32)] * 5
+    batch, valid, tgt, _ = prepare_batch(tuples, targets)
+    params = network.model.params
+    key = jax.random.PRNGKey(0)
+
+    (loss, _), grads = step.gradients(params, batch, valid, tgt, key)
+    _sync(jax.tree_util.tree_leaves(grads)[0])  # compile + warm
+    start = time.time()
+    for _ in range(reps):
+        (loss, _), grads = step.gradients(params, batch, valid, tgt, key)
+    _sync(jax.tree_util.tree_leaves(grads)[0])
+    elapsed = time.time() - start
+    return reps * len(tuples) / elapsed  # tuples/sec
+
+
 def main():
     from mdir_tpu.models import initialize_model
     from mdir_tpu.parallel.extract import extract_vectors_batched
@@ -299,6 +333,12 @@ def main():
                                         shapes[0], tuple(scales)), 1)
         except Exception as exc:
             result["clahe_chain_error"] = str(exc)[:200]
+
+        try:
+            result["train_tuples_per_sec"] = round(_measure_train_step(model),
+                                                   2)
+        except Exception as exc:
+            result["train_step_error"] = str(exc)[:200]
 
     print(json.dumps(result))
     return 0
