@@ -152,8 +152,9 @@ def _measure_chain_resident(model, mean_std, max_batch, shape, scales):
         "pil2np | apply_clahe | totensor | normalize", list(mean_std)))
     h, w = shape
     rng = np.random.RandomState(2)
+    n_chan = 4 if chain.ships_l else 3  # device-L mode ships plain RGB
     batch = jax.device_put(
-        rng.randint(0, 256, (max_batch, h, w, 4)).astype(np.uint8))
+        rng.randint(0, 256, (max_batch, h, w, n_chan)).astype(np.uint8))
     args = _resident_args(model, mean_std, max_batch, shape, scales)
     aux = {k: jnp.asarray(v) for k, v in clahe_bucket_aux(
         [(h, w)] * max_batch, (h, w), *chain.clahe_params).items()}
@@ -333,6 +334,40 @@ def main():
                                         shapes[0], tuple(scales)), 1)
         except Exception as exc:
             result["clahe_chain_error"] = str(exc)[:200]
+
+        # e2e CLAHE-chain rate over the tunnel: with the device-computed L
+        # plane the ingress is plain RGB u8 (25% fewer bytes than shipping
+        # the cv2 L plane as a 4th channel)
+        try:
+            from mdir_tpu.data.transforms import initialize_transforms
+            from mdir_tpu.ops.preprocess import chain_from_transform
+            from mdir_tpu.parallel.extract import StreamingExtractor
+
+            cchain = chain_from_transform(initialize_transforms(
+                "pil2np | apply_clahe | totensor | normalize",
+                list(mean_std)))
+            craw = [cchain.host_input(a[..., :3]) for a in arrays]
+
+            def run_chain():
+                ext = StreamingExtractor(
+                    model, scales=scales, msp=msp, max_batch=max_batch,
+                    compute_dtype=compute_dtype, device_chain=cchain)
+                for i, arr in enumerate(craw):
+                    ext.add(i, arr)
+                return ext.finish(len(craw))
+
+            run_chain()  # compile + warm
+            c_elapsed = float("inf")
+            for _ in range(2):
+                start = time.time()
+                cvecs = run_chain()
+                c_elapsed = min(c_elapsed, time.time() - start)
+            assert np.isfinite(cvecs).all()
+            result["clahe_chain_e2e_imgs_per_sec"] = round(
+                len(craw) / c_elapsed, 2)
+            result["clahe_chain_ships_l"] = bool(cchain.ships_l)
+        except Exception as exc:
+            result["clahe_chain_e2e_error"] = str(exc)[:200]
 
         try:
             result["train_tuples_per_sec"] = round(_measure_train_step(model),

@@ -1,0 +1,198 @@
+"""cv2-bit-exact LAB lightness (the CLAHE input plane) from uint8 RGB, on
+device.
+
+The reference's CLAHE transforms (``mdir/components/data/transform/
+photometric_transforms.py:28-36``, ``functional.py:109-129``) feed cv2's
+CLAHE with the u8-quantized L channel of cv2's RGB->LAB conversion. OpenCV's
+float conversion (this environment: cv2 5.x) runs a fixed-point integer
+pipeline, measured here empirically and verified EXHAUSTIVELY over all
+256^3 RGB triples (zero mismatches):
+
+    cx   = rint(f32(v / 255) * 16384)            per channel, LAB_BASE = 2^14
+    tx   = cx >> 9,  w = (cx & 511) >> 5         corner + 4-bit frac weight
+    blend = sum over the 8 corners of NODE[tx+dx, ty+dy, tz+dz]
+            * wx * wy * wz                        (33^3 node LUT, w in [0,16])
+    n    = (blend + 2048) >> 12                   L = n / 16384 * 100
+    l_u8 = (n * 255) >> 14                        the host chain's u8 plane
+
+Every quantity stays an exact small integer, so the device computation is
+bit-identical to the host chain: the soft one-hot corner weights (<= 16) are
+exact in bfloat16, the single (px, 1089) @ (1089, 33) MXU contraction
+accumulates integers < 2^24 exactly in float32, and the final descales are
+exact power-of-two float ops. This removes the shipped 4th uint8 plane from
+CLAHE-chain ingress (25% fewer bytes over the host->device link, and one
+cv2.cvtColor less per image on the 1-core host).
+
+The 33^3 node lattice ships as ``_lab_l_nodes.npy`` (int16, 72 KB), probed
+from cv2 at the grid inputs k/32 (exact fixed-point values); a cheap sampled
+``spot_check()`` against the live cv2 guards against OpenCV algorithm drift —
+when it fails, callers fall back to shipping the host-computed L plane.
+"""
+import functools
+import os
+
+import numpy as np
+
+_NODE_PATH = os.path.join(os.path.dirname(__file__), "_lab_l_nodes.npy")
+LAB_BASE = 16384  # 2^14, cv2's fixed-point scale
+
+
+def generate_node_lut(path=_NODE_PATH):
+    """Probe cv2's RGB->LAB at the 33^3 trilinear grid nodes (needs cv2)."""
+    import cv2
+
+    ks = np.arange(33, dtype=np.float64) / 32.0
+    i, j, k = np.meshgrid(ks, ks, ks, indexing="ij")
+    rgb = np.stack([i.ravel(), j.ravel(), k.ravel()], -1).astype(np.float32)
+    L = cv2.cvtColor(rgb[None], cv2.COLOR_RGB2LAB)[0, :, 0].astype(np.float64)
+    n = L / 100.0 * LAB_BASE
+    nodes = np.rint(n)
+    if np.abs(n - nodes).max() > 1e-3:
+        raise RuntimeError(
+            "cv2's RGB2LAB output is not on the n/16384 fixed-point lattice; "
+            "its algorithm changed — device L must ship from host")
+    nodes = nodes.reshape(33, 33, 33).astype(np.int16)
+    np.save(path, nodes)
+    return nodes
+
+
+@functools.lru_cache(maxsize=1)
+def _node_lut():
+    if os.path.exists(_NODE_PATH):
+        return np.load(_NODE_PATH).astype(np.int32)
+    return generate_node_lut().astype(np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def _u8_corner_tables():
+    """Per-u8-value (tx, w) emulating cv2's f32 fixed-point quantization.
+
+    v/255 rounds to f32 (correctly-rounded division), *16384 is exact
+    (power of two), cvRound is round-half-to-even.
+    """
+    v32 = (np.arange(256, dtype=np.float32) / np.float32(255.0))
+    cx = np.rint(v32.astype(np.float64) * LAB_BASE).astype(np.int64)
+    return (cx >> 9).astype(np.int32), ((cx & 511) >> 5).astype(np.int32)
+
+
+def lab_l_u8_np(rgb_u8):
+    """Exact numpy replica: (..., 3) uint8 RGB -> (...) int32 l_u8 values."""
+    tx, w = _u8_corner_tables()
+    node = _node_lut().astype(np.int64)
+    v = np.asarray(rgb_u8, np.int64)
+    t = tx[v[..., 0]], tx[v[..., 1]], tx[v[..., 2]]
+    f = w[v[..., 0]], w[v[..., 1]], w[v[..., 2]]
+    acc = np.zeros(v.shape[:-1], np.int64)
+    for dx in (0, 1):
+        wx = f[0] if dx else 16 - f[0]
+        ix = np.minimum(t[0] + dx, 32)
+        for dy in (0, 1):
+            wy = f[1] if dy else 16 - f[1]
+            iy = np.minimum(t[1] + dy, 32)
+            for dz in (0, 1):
+                wz = f[2] if dz else 16 - f[2]
+                iz = np.minimum(t[2] + dz, 32)
+                acc += node[ix, iy, iz] * (wx * wy * wz)
+    n = (acc + 2048) >> 12
+    return ((n * 255) >> 14).astype(np.int32)
+
+
+def _soft_corner_onehot(u8_chan, dtype):
+    """(..., ) uint8 channel -> (..., 33) corner weights (integers <= 16).
+
+    All-arithmetic (no gathers): cx is reproduced with the same correctly-
+    rounded f32 ops cv2 uses, then corner/weight splits are exact VPU math.
+    """
+    import jax.numpy as jnp
+
+    v = u8_chan.astype(jnp.float32)
+    cx = jnp.round(v / jnp.float32(255.0) * jnp.float32(LAB_BASE))
+    tx = jnp.floor(cx * (1.0 / 512.0))
+    fx = cx - tx * 512.0
+    w = jnp.floor(fx * (1.0 / 32.0))
+    iota = jnp.arange(33, dtype=jnp.float32)
+    t = tx[..., None]
+    return ((iota == t) * (16.0 - w[..., None])
+            + (iota == t + 1.0) * w[..., None]).astype(dtype)
+
+
+def lab_l_u8_jax(batch_u8, row_chunk=1):
+    """(N, H, W, 3) uint8 -> (N, H, W) int32 l_u8, bit-exact with cv2.
+
+    One MXU contraction per row-chunk: the (g, b) pair soft-one-hot
+    (integers <= 256, exact in bf16) against the reshaped node LUT, then a
+    33-wide weighted sum by the r-channel weights. Scanned over row chunks
+    to bound the (px, 1089) transient.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    node = jnp.asarray(_node_lut().reshape(33, 33 * 33).T, jnp.float32)
+    n, h, w_, _ = batch_u8.shape
+    chunk = min(row_chunk, h)
+    while h % chunk:
+        chunk -= 1
+    vals = jnp.moveaxis(
+        batch_u8.reshape(n, h // chunk, chunk, w_, 3), 1, 0)
+
+    def body(_, v):  # (N, chunk, W, 3)
+        o_r = _soft_corner_onehot(v[..., 0], jnp.float32)
+        o_g = _soft_corner_onehot(v[..., 1], jnp.bfloat16)
+        o_b = _soft_corner_onehot(v[..., 2], jnp.bfloat16)
+        pair = (o_g[..., :, None] * o_b[..., None, :]).reshape(
+            *v.shape[:-1], 33 * 33)
+        t2 = jnp.einsum("...p,pk->...k", pair, node,
+                        preferred_element_type=jnp.float32)
+        # t2 <= 2^22 is f32-exact; the final blend reaches 2^26, beyond
+        # f32's exact-integer range — finish in int32
+        blend = (t2.astype(jnp.int32) * o_r.astype(jnp.int32)).sum(-1)
+        nval = (blend + 2048) >> 12
+        return None, (nval * 255) >> 14
+
+    _, out = jax.lax.scan(body, None, vals)
+    return jnp.moveaxis(out, 0, 1).reshape(n, h, w_).astype(jnp.int32)
+
+
+def lsh_l_u8_np(rgb_u8):
+    """HLS lightness u8 plane: exactly (max + min) >> 1 for u8 inputs."""
+    v = np.asarray(rgb_u8, np.int32)
+    return (v.max(-1) + v.min(-1)) >> 1
+
+
+def lsh_l_u8_jax(batch_u8):
+    import jax.numpy as jnp
+
+    v = batch_u8[..., :3].astype(jnp.int32)
+    return (jnp.max(v, axis=-1) + jnp.min(v, axis=-1)) >> 1
+
+
+@functools.lru_cache(maxsize=4)
+def spot_check(space="lab", samples=4096, seed=0):
+    """Sampled guard: numpy replica vs the live cv2 host chain.
+
+    Returns True when the device-L computation is safe to use for ``space``.
+    Cheap (one cvtColor call); biased toward channel extremes where corner
+    and rounding bugs would show first.
+    """
+    try:
+        from ..data.transforms import rgb2normspace_np
+    except ImportError:  # pragma: no cover
+        return False
+    rng = np.random.RandomState(seed)
+    u8 = rng.randint(0, 256, (samples, 3))
+    u8[:256] = np.stack([np.arange(256)] * 3, -1)  # gray ramp
+    u8[256:288, 1:] = 0                            # single-channel edges
+    u8 = u8.astype(np.uint8)
+    try:
+        spc = rgb2normspace_np(
+            (u8[None].astype(np.float32) / 255.0), space)
+    except Exception:  # pragma: no cover - cv2 missing/unsupported space
+        return False
+    host = (spc[0, :, 0] * 255).astype(np.uint8).astype(np.int32)
+    if space == "lab":
+        ours = lab_l_u8_np(u8)
+    elif space == "lsh":
+        ours = lsh_l_u8_np(u8)
+    else:
+        return False
+    return bool((ours == host).all())

@@ -21,6 +21,7 @@ add_clahe_fromrgb[:clip[:grid[:space]]] | tospace:<space>] | totensor |
 normalize``.
 """
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -111,13 +112,22 @@ def make_device_preprocess(chain, mean_std):
 class DeviceChain:
     """A host transform chain lowered to a device program over u8 buckets.
 
-    When the chain contains a CLAHE step, the loader ships the host-computed
-    (cv2) lightness channel as a 4th uint8 plane (``ships_l``): CLAHE's u8
-    input is then bit-identical to the host chain's — the JAX colorspace is
-    within ~1e-3 of cv2's float path, which the u8 truncation would otherwise
-    amplify into tile-LUT bin flips. Ingress stays uint8 (4 B/px vs 12 B/px
-    host-float), and the only residual device-vs-host difference is the
-    ~1e-3 colorspace round trip on the non-L channels.
+    CLAHE's u8 input plane must be bit-identical to the host chain's (cv2's
+    quantized lightness channel) — tile-LUT bin flips would otherwise break
+    the pinned cv2 bit-exactness. Two ways to get it:
+
+    * ``device_l`` (default for lab/lsh): the plane is recomputed ON DEVICE,
+      bit-exactly, from the raw RGB (``ops/lab_trilinear.py`` replicates
+      cv2's fixed-point trilinear pipeline; verified exhaustively over all
+      256^3 triples). Ingress is plain 3-plane uint8 and the host does no
+      cv2.cvtColor at all.
+    * ``ships_l`` (fallback: other spaces, ``MDIR_TPU_SHIP_L=1``, or a cv2
+      whose algorithm fails the sampled spot check): the loader ships the
+      host-computed plane as a 4th uint8 channel.
+
+    Either way ingress stays uint8 (3-4 B/px vs 12 B/px host-float), and the
+    only residual device-vs-host difference is the ~1e-3 colorspace round
+    trip on the non-L channels.
     """
 
     def __init__(self, steps, mean_std):
@@ -127,17 +137,22 @@ class DeviceChain:
         clahe = [args for name, args in steps
                  if name in ("apply_clahe", "add_clahe_fromrgb")]
         assert len(clahe) <= 1, "one CLAHE step per chain"
+        self.device_l = False
         if clahe:
             clip, space, grid = clahe[0]
             self.clahe_params = (float(clip), (int(grid), int(grid)))
             self.clahe_space = space
+            if _os.environ.get("MDIR_TPU_SHIP_L", "0") != "1":
+                from .lab_trilinear import spot_check
+
+                self.device_l = space in ("lab", "lsh") and spot_check(space)
         else:
             self.clahe_params = None
             self.clahe_space = None
 
     @property
     def ships_l(self):
-        return self.clahe_params is not None
+        return self.clahe_params is not None and not self.device_l
 
     def host_input(self, img_u8):
         """Loader-side raw input: RGB u8, plus the cv2 L u8 plane if CLAHE."""
@@ -154,7 +169,8 @@ class DeviceChain:
     @property
     def key(self):
         return (tuple((n, tuple(a)) for n, a in self.steps),
-                tuple(self.mean_std[0]), tuple(self.mean_std[1]))
+                tuple(self.mean_std[0]), tuple(self.mean_std[1]),
+                self.device_l)
 
 
 def chain_from_transform(transform):
@@ -209,12 +225,20 @@ def make_bucketed_chain(chain):
     """
     mean = jnp.asarray(chain.mean_std[0], jnp.float32)
     std = jnp.asarray(chain.mean_std[1], jnp.float32)
-    ships_l = chain.ships_l
+    device_l = chain.device_l
+    clahe_space = chain.clahe_space
 
     def clahe_chan(batch_u8, aux, grid):
-        # the shipped cv2 L plane makes the CLAHE input bit-identical to
-        # the host chain's (see DeviceChain docstring)
-        l_u8 = batch_u8[..., 3].astype(jnp.int32)
+        # CLAHE's u8 input plane is bit-identical to the host chain's: either
+        # recomputed on device (lab_trilinear, exhaustively cv2-exact) or
+        # shipped as the 4th uint8 channel (see DeviceChain docstring)
+        if device_l:
+            from .lab_trilinear import lab_l_u8_jax, lsh_l_u8_jax
+
+            fn = lab_l_u8_jax if clahe_space == "lab" else lsh_l_u8_jax
+            l_u8 = fn(batch_u8[..., :3])
+        else:
+            l_u8 = batch_u8[..., 3].astype(jnp.int32)
         return clahe_ops.clahe_u8_bucketed_jax(l_u8, aux, grid) / 255.0
 
     def fn(batch_u8, clahe_aux):

@@ -1,0 +1,120 @@
+"""Device-computed CLAHE input plane (ops/lab_trilinear.py).
+
+cv2's float RGB2LAB runs a fixed-point trilinear pipeline (LAB_BASE = 2^14);
+the device replica was verified exhaustively over all 256^3 RGB triples
+offline (zero mismatches) — these tests pin the machinery against the live
+cv2 on dense samples, pin the JAX kernel bit-exact against the numpy
+replica, and pin that the device-L chain equals the ship-L chain program
+output bit for bit.
+
+Reference semantics: mdir/components/data/transform/
+photometric_transforms.py:28-36, functional.py:109-129 (the CLAHE family
+feeds cv2 CLAHE with the u8-quantized colorspace L plane).
+"""
+import numpy as np
+import pytest
+
+from mdir_tpu.ops import lab_trilinear as lt
+
+
+def _host_l_u8(u8, space):
+    from mdir_tpu.data.transforms import rgb2normspace_np
+
+    spc = rgb2normspace_np(u8.astype(np.float32) / 255.0, space)
+    return (spc[..., 0] * 255).astype(np.uint8).astype(np.int32)
+
+
+def test_numpy_replica_matches_cv2_dense():
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (512, 513, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(lt.lab_l_u8_np(u8), _host_l_u8(u8, "lab"))
+
+
+def test_numpy_replica_matches_cv2_structured():
+    # ramps and channel extremes: where corner/rounding bugs show first
+    v = np.arange(256, dtype=np.uint8)
+    cases = [np.stack([v, v, v], -1)]
+    for c in range(3):
+        img = np.zeros((256, 3), np.uint8)
+        img[:, c] = v
+        cases.append(img)
+        img2 = np.full((256, 3), 255, np.uint8)
+        img2[:, c] = v
+        cases.append(img2)
+    u8 = np.concatenate(cases)[None]
+    np.testing.assert_array_equal(lt.lab_l_u8_np(u8), _host_l_u8(u8, "lab"))
+
+
+def test_jax_kernel_bit_exact_vs_numpy():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    batch = rng.randint(0, 256, (3, 96, 64, 3)).astype(np.uint8)
+    out = np.asarray(lt.lab_l_u8_jax(jnp.asarray(batch)))
+    np.testing.assert_array_equal(out, lt.lab_l_u8_np(batch))
+
+
+def test_lsh_plane_exact():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    u8 = rng.randint(0, 256, (200, 3)).astype(np.uint8)
+    host = _host_l_u8(u8[None], "lsh")[0]
+    np.testing.assert_array_equal(lt.lsh_l_u8_np(u8), host)
+    np.testing.assert_array_equal(
+        np.asarray(lt.lsh_l_u8_jax(jnp.asarray(u8[None]))), host[None])
+
+
+def test_spot_check_gates():
+    assert lt.spot_check("lab")
+    assert lt.spot_check("lsh")
+    assert not lt.spot_check("luv")  # cv2's Luv path differs: must ship L
+
+
+@pytest.mark.parametrize("dsl", ["pil2np | apply_clahe | totensor | normalize",
+                                 "pil2np | apply_clahe:3:lsh | totensor | "
+                                 "normalize"])
+def test_device_l_chain_equals_shipped_l_chain(monkeypatch, dsl):
+    """The full bucketed device chain produces bit-identical output whether
+    the CLAHE input plane is shipped from host or recomputed on device."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.ops.clahe import clahe_bucket_aux
+    from mdir_tpu.ops.preprocess import chain_from_transform, \
+        make_bucketed_chain
+
+    mean_std = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+
+    def build(ship):
+        monkeypatch.setenv("MDIR_TPU_SHIP_L", "1" if ship else "0")
+        lt.spot_check.cache_clear()
+        return chain_from_transform(initialize_transforms(dsl, mean_std))
+
+    dev = build(False)
+    shp = build(True)
+    assert dev.device_l and not dev.ships_l
+    assert shp.ships_l and not shp.device_l
+
+    rng = np.random.RandomState(3)
+    shapes = [(72, 96), (96, 72)]
+    bucket = (96, 96)
+    imgs = [rng.randint(0, 256, s + (3,)).astype(np.uint8) for s in shapes]
+
+    def run(chain):
+        n_chan = 4 if chain.ships_l else 3
+        batch = np.zeros((len(imgs),) + bucket + (n_chan,), np.uint8)
+        for i, img in enumerate(imgs):
+            inp = chain.host_input(img)
+            batch[i, :inp.shape[0], :inp.shape[1]] = inp
+        clip, grid = chain.clahe_params
+        aux = {k: jnp.asarray(v) for k, v in clahe_bucket_aux(
+            shapes, bucket, clip_limit=clip, grid=grid).items()}
+        return np.asarray(make_bucketed_chain(chain)(
+            jnp.asarray(batch), aux))
+
+    out_dev = run(dev)
+    out_shp = run(shp)
+    # valid extents must match bit for bit (the L planes are identical)
+    for i, (h, w) in enumerate(shapes):
+        np.testing.assert_array_equal(out_dev[i, :h, :w], out_shp[i, :h, :w])

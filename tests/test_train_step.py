@@ -107,10 +107,12 @@ def test_device_chain_train_step_matches_host():
     step_host = TrainStep(network, criterion, batch_average=True)
     (loss_h, _), grads_h = step_host.gradients(params, hb, hv, ht, key)
 
-    # device path: raw uint8 (+ host L plane) + fused chain
+    # device path: raw uint8 (+ host L plane unless the device recomputes
+    # it bit-exactly) + fused chain
     raw_in = [[chain.host_input(img) for img in tpl] for tpl in raw]
     db, dv, dt, _ = prepare_batch(raw_in, targets_in)
-    assert db.dtype == np.uint8 and db.shape[-1] == 4
+    assert db.dtype == np.uint8
+    assert db.shape[-1] == (4 if chain.ships_l else 3)
     clip, grid = chain.clahe_params
     aux = clahe_bucket_aux([tuple(v) for v in dv], db.shape[1:3],
                            clip_limit=clip, grid=grid)
