@@ -144,7 +144,7 @@ def _measure_chain_resident(model, mean_std, max_batch, shape, scales):
     import jax.numpy as jnp
 
     from mdir_tpu.data.transforms import initialize_transforms
-    from mdir_tpu.ops.clahe import clahe_bucket_aux
+    from mdir_tpu.ops.clahe import clahe_bucket_aux, pack_clahe_aux
     from mdir_tpu.ops.preprocess import chain_from_transform
     from mdir_tpu.parallel.extract import _get_fused
 
@@ -156,8 +156,8 @@ def _measure_chain_resident(model, mean_std, max_batch, shape, scales):
     batch = jax.device_put(
         rng.randint(0, 256, (max_batch, h, w, n_chan)).astype(np.uint8))
     args = _resident_args(model, mean_std, max_batch, shape, scales)
-    aux = {k: jnp.asarray(v) for k, v in clahe_bucket_aux(
-        [(h, w)] * max_batch, (h, w), *chain.clahe_params).items()}
+    aux = tuple(jnp.asarray(a) for a in pack_clahe_aux(clahe_bucket_aux(
+        [(h, w)] * max_batch, (h, w), *chain.clahe_params)))
     fused = _get_fused(model.module, scales, False, False, None, chain=chain)
     # (variables, batch, valid, grids, clahe_aux, boxes, msp, P, m, mean, std)
     zero = jnp.zeros((0,), jnp.float32)

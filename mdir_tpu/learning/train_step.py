@@ -81,16 +81,26 @@ class TrainStep:
         criterion = self.criterion
 
         chain_fn = None
+        chain_grid = None
         if self.device_chain is not None:
             from ..ops.preprocess import make_bucketed_chain
 
             chain_fn = make_bucketed_chain(self.device_chain)
+            if self.device_chain.clahe_params is not None:
+                chain_grid = self.device_chain.clahe_params[1]
 
         def preprocess(batch, valid_hw, clahe_aux):
             if chain_fn is None:
                 return batch
             from ..models.trunks import apply_valid_mask
 
+            if clahe_aux is not None:
+                # aux ships as 2 packed arrays (one transfer each);
+                # unpack in-graph with static bucket shapes
+                from ..ops.clahe import unpack_clahe_aux
+
+                clahe_aux = unpack_clahe_aux(
+                    *clahe_aux, batch.shape[1:3], chain_grid)
             batch = chain_fn(batch, clahe_aux)
             if valid_hw is not None:
                 batch = apply_valid_mask(batch, valid_hw)
@@ -144,6 +154,10 @@ class TrainStep:
                   clahe_aux=None):
         if self._grad_fn is None:
             self._build()
+        if isinstance(clahe_aux, dict):
+            from ..ops.clahe import pack_clahe_aux
+
+            clahe_aux = pack_clahe_aux(clahe_aux)
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
 
@@ -158,8 +172,8 @@ class TrainStep:
                 valid_hw = jax.device_put(np.asarray(valid_hw), shard)
             targets = jax.device_put(np.asarray(targets), repl)
             if clahe_aux is not None:
-                clahe_aux = {k: jax.device_put(np.asarray(v), shard)
-                             for k, v in clahe_aux.items()}
+                clahe_aux = tuple(jax.device_put(np.asarray(a), shard)
+                                  for a in clahe_aux)
         return self._grad_fn(params, batch, valid_hw, targets, rng, clahe_aux)
 
 

@@ -288,6 +288,31 @@ def clahe_bucket_aux(shapes, bucket_hw, clip_limit=4.0, grid=(8, 8)):
     return aux
 
 
+def pack_clahe_aux(aux):
+    """Pack the 8 per-chunk aux arrays into 2 (the host->device link
+    charges per transfer): (B, RH+CW, 2) int32 indices + (B, 4) f32 scalars.
+    """
+    ints = np.stack([
+        np.concatenate([aux["row_src"], aux["col_src"]], axis=1),
+        np.concatenate([aux["row_tile"], aux["col_tile"]], axis=1),
+    ], axis=-1).astype(np.int32)
+    scalars = np.stack([aux["inv_th"], aux["inv_tw"], aux["clim"],
+                        aux["scale"]], axis=-1).astype(np.float32)
+    return ints, scalars
+
+
+def unpack_clahe_aux(ints, scalars, bucket_hw, grid):
+    """In-graph inverse of ``pack_clahe_aux`` (static bucket/grid shapes)."""
+    gh, gw = grid
+    rh = bucket_hw[0] + gh
+    return {
+        "row_src": ints[:, :rh, 0], "row_tile": ints[:, :rh, 1],
+        "col_src": ints[:, rh:, 0], "col_tile": ints[:, rh:, 1],
+        "inv_th": scalars[:, 0], "inv_tw": scalars[:, 1],
+        "clim": scalars[:, 2], "scale": scalars[:, 3],
+    }
+
+
 def _hist_dynamic(padded, row_tile, col_tile, gh, gw, chunk=16):
     """Per-tile histograms with dynamic tile boundaries: (gh, gw, 256).
 
@@ -350,27 +375,16 @@ def _interp_dynamic(vals, luts, inv_th, inv_tw, gh, gw, chunk=16):
     """4-neighbor tile-LUT blend with traced tile sizes; f32 u8-values.
 
     Gathers are hostile on TPU (the naive 4-lookup blend costs ~60 ms/img
-    at 768x1024), so the blend is reformulated as contractions: collapse
-    the tile-row axis with the per-row weights, broadcast the tile-column
-    weights into per-pixel-value curves, and select each pixel's value by
-    a one-hot product — MXU/VPU work only, scanned over row chunks so the
-    (chunk, W, 256) intermediate stays small.
+    at 768x1024), so each pixel's value is looked up in EVERY tile LUT with
+    one well-shaped MXU contraction — (px, 256) one-hot @ (256, gh*gw) — and
+    the 4-neighbor blend then runs on the selected (px, gh, gw) values as
+    cheap VPU broadcasts. Selection commutes exactly with the per-bin blend
+    (one nonzero product plus exact zeros per sum), so the result rounds
+    bit-identically to cv2's per-pixel x-then-y formula.
     """
     bh, bw = vals.shape
     wy1, wy2 = _axis_tile_weights(bh, inv_th, gh)  # (BH, gh) each
     wx1, wx2 = _axis_tile_weights(bw, inv_tw, gw)  # (BW, gw) each
-    luts3 = luts.reshape(gh, gw, HIST_SIZE)
-
-    # cv2 blends x first then y, each as (lo*w_lo + hi*w_hi); every
-    # contraction below adds one nonzero product plus exact zeros, so the
-    # result rounds bit-identically to the per-pixel 4-lookup formula
-    def blend(w_lo, w_hi, spec, table):
-        return (jnp.einsum(spec, w_lo, table,
-                           preferred_element_type=jnp.float32)
-                + jnp.einsum(spec, w_hi, table,
-                             preferred_element_type=jnp.float32))
-
-    lut_x = blend(wx1, wx2, "xt,gtb->xgb", luts3)  # (BW, gh, 256)
 
     chunk = min(chunk, bh)
     while bh % chunk:
@@ -379,13 +393,20 @@ def _interp_dynamic(vals, luts, inv_th, inv_tw, gh, gw, chunk=16):
     wy1_c = wy1.reshape(bh // chunk, chunk, gh)
     wy2_c = wy2.reshape(bh // chunk, chunk, gh)
     bins = jnp.arange(HIST_SIZE, dtype=jnp.int32)
+    wx1_b = wx1[None, :, None, :]  # (1, BW, 1, gw)
+    wx2_b = wx2[None, :, None, :]
 
     def body(_, xs):
         v, w1, w2 = xs
-        curves = blend(w1, w2, "rg,xgb->rxb", lut_x)
-        # select each pixel's own value from its curve (one-hot product)
-        onehot = (v[..., None] == bins).astype(jnp.float32)
-        return None, jnp.sum(curves * onehot, axis=-1)
+        onehot = (v[..., None] == bins).astype(jnp.bfloat16)
+        # every tile's LUT at this pixel's value: (chunk, BW, gh, gw)
+        allt = jnp.einsum("rxb,tb->rxt", onehot, luts,
+                          preferred_element_type=jnp.float32)
+        allt = allt.reshape(*v.shape, gh, gw)
+        # cv2 blends x first then y, each as (lo*w_lo + hi*w_hi)
+        tmp = (allt * wx1_b).sum(-1) + (allt * wx2_b).sum(-1)  # (r, x, gh)
+        return None, ((tmp * w1[:, None, :]).sum(-1)
+                      + (tmp * w2[:, None, :]).sum(-1))
 
     _, res = jax.lax.scan(body, None, (vals_c, wy1_c, wy2_c))
     return jnp.clip(jnp.round(res.reshape(bh, bw)), 0, 255)

@@ -149,10 +149,13 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
     multiscale wrapper's resizes.)
     """
     chain_fn = None
+    chain_grid = None
     if chain is not None:
         from ..ops.preprocess import make_bucketed_chain
 
         chain_fn = make_bucketed_chain(chain)
+        if chain.clahe_params is not None:
+            chain_grid = chain.clahe_params[1]
 
     if _os.environ.get("MDIR_TPU_PALLAS", "0") == "1" \
             and getattr(module, "pooling", None) == "gem" \
@@ -168,6 +171,13 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
         from ..models.trunks import apply_valid_mask
 
         if chain_fn is not None:
+            if clahe_aux is not None:
+                # aux ships as 2 packed arrays (the link charges per
+                # transfer); unpack in-graph with static bucket shapes
+                from ..ops.clahe import unpack_clahe_aux
+
+                clahe_aux = unpack_clahe_aux(
+                    *clahe_aux, batch.shape[1:3], chain_grid)
             batch = chain_fn(batch, clahe_aux)
             batch = apply_valid_mask(batch, valid_hw)
         elif device_normalize:
@@ -368,12 +378,13 @@ class StreamingExtractor:
         clahe_aux = None
         if self.device_chain is not None \
                 and self.device_chain.clahe_params is not None:
-            from ..ops.clahe import clahe_bucket_aux
+            from ..ops.clahe import clahe_bucket_aux, pack_clahe_aux
 
             clip, grid = self.device_chain.clahe_params
-            clahe_aux = clahe_bucket_aux([arr.shape[:2] for _, arr in items]
-                                         + [in_bucket] * (bsz - len(items)),
-                                         in_bucket, clip_limit=clip, grid=grid)
+            clahe_aux = pack_clahe_aux(clahe_bucket_aux(
+                [arr.shape[:2] for _, arr in items]
+                + [in_bucket] * (bsz - len(items)),
+                in_bucket, clip_limit=clip, grid=grid))
 
         indices = [idx for idx, _ in items]
         self._dispatch((indices, batch, valid, grids, clahe_aux, boxes))
@@ -390,7 +401,7 @@ class StreamingExtractor:
         dev_grids = tuple(None if g is None else tuple(put(a) for a in g)
                           for g in grids)
         dev_aux = None if clahe_aux is None \
-            else {k: put(v) for k, v in clahe_aux.items()}
+            else tuple(put(a) for a in clahe_aux)
         dev_boxes = None if boxes is None else tuple(put(b) for b in boxes)
 
         vecs = self.fused(self.variables, dev_batch, dev_valid, dev_grids,

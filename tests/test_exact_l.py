@@ -54,6 +54,15 @@ def test_jax_kernel_bit_exact_vs_numpy():
     np.testing.assert_array_equal(out, lt.lab_l_u8_np(batch))
 
 
+def test_pallas_kernel_bit_exact_interpret():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(4)
+    batch = rng.randint(0, 256, (2, 16, 256, 3)).astype(np.uint8)
+    out = np.asarray(lt.lab_l_u8_pallas(jnp.asarray(batch), interpret=True))
+    np.testing.assert_array_equal(out, lt.lab_l_u8_np(batch))
+
+
 def test_lsh_plane_exact():
     import jax.numpy as jnp
 
