@@ -358,13 +358,20 @@ def main():
 
             run_chain()  # compile + warm
             c_elapsed = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 start = time.time()
                 cvecs = run_chain()
                 c_elapsed = min(c_elapsed, time.time() - start)
             assert np.isfinite(cvecs).all()
+            c_bytes = sum(a.nbytes for a in craw)
+            # the tunnel swings minute to minute: measure its ceiling at
+            # this moment so the chain number carries its own saturation
+            c_tunnel = _measure_tunnel(
+                np.concatenate([a.reshape(-1) for a in craw[:max_batch]]))
             result["clahe_chain_e2e_imgs_per_sec"] = round(
                 len(craw) / c_elapsed, 2)
+            result["clahe_chain_ingress_saturation"] = round(
+                (c_bytes / c_elapsed / 1e6) / c_tunnel, 2)
             result["clahe_chain_ships_l"] = bool(cchain.ships_l)
         except Exception as exc:
             result["clahe_chain_e2e_error"] = str(exc)[:200]

@@ -23,10 +23,19 @@ exact power-of-two float ops. This removes the shipped 4th uint8 plane from
 CLAHE-chain ingress (25% fewer bytes over the host->device link, and one
 cv2.cvtColor less per image on the 1-core host).
 
-The 33^3 node lattice ships as ``_lab_l_nodes.npy`` (int16, 72 KB), probed
-from cv2 at the grid inputs k/32 (exact fixed-point values); a cheap sampled
-``spot_check()`` against the live cv2 guards against OpenCV algorithm drift —
-when it fails, callers fall back to shipping the host-computed L plane.
+The a/b output channels live on the same fixed-point lattices
+(chan = n/64 - 128, n in [0, 2^14]) and ride the SAME trilinear matmul as
+free extra columns (N pads to 128 lanes either way) — also verified
+exhaustively over all 256^3 triples — so the whole forward RGB->lab
+conversion in device chains is bit-exact with the host's cv2 call; only
+the inverse (lab->rgb after CLAHE) remains the ~1e-3 float path (cv2's
+LAB2RGB is genuine float math in this build: probed non-lattice).
+
+The 33^3 x 3 node lattice ships as ``_lab_nodes.npy`` (int16, 216 KB),
+probed from cv2 at the grid inputs k/32 (exact fixed-point values); a cheap
+sampled ``spot_check()`` against the live cv2 guards against OpenCV
+algorithm drift — when it fails, callers fall back to shipping the
+host-computed L plane and the float colorspace.
 """
 import functools
 import os
@@ -35,34 +44,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_NODE_PATH = os.path.join(os.path.dirname(__file__), "_lab_l_nodes.npy")
+_NODE_PATH = os.path.join(os.path.dirname(__file__), "_lab_nodes.npy")
 LAB_BASE = 16384  # 2^14, cv2's fixed-point scale
 
 
 def generate_node_lut(path=_NODE_PATH):
-    """Probe cv2's RGB->LAB at the 33^3 trilinear grid nodes (needs cv2)."""
+    """Probe cv2's RGB->LAB at the 33^3 trilinear grid nodes (needs cv2).
+
+    All three output channels live on fixed-point lattices (L = n/2^14*100,
+    a/b = n/64 - 128 with n in [0, 2^14]), so one (33, 33, 33, 3) int16
+    table captures the whole conversion.
+    """
     import cv2
 
     ks = np.arange(33, dtype=np.float64) / 32.0
     i, j, k = np.meshgrid(ks, ks, ks, indexing="ij")
     rgb = np.stack([i.ravel(), j.ravel(), k.ravel()], -1).astype(np.float32)
-    L = cv2.cvtColor(rgb[None], cv2.COLOR_RGB2LAB)[0, :, 0].astype(np.float64)
-    n = L / 100.0 * LAB_BASE
+    lab = cv2.cvtColor(rgb[None], cv2.COLOR_RGB2LAB)[0].astype(np.float64)
+    n = np.stack([lab[:, 0] / 100.0 * LAB_BASE,
+                  (lab[:, 1] + 128.0) * 64.0,
+                  (lab[:, 2] + 128.0) * 64.0], axis=-1)
     nodes = np.rint(n)
     if np.abs(n - nodes).max() > 1e-3:
         raise RuntimeError(
             "cv2's RGB2LAB output is not on the n/16384 fixed-point lattice; "
             "its algorithm changed — device L must ship from host")
-    nodes = nodes.reshape(33, 33, 33).astype(np.int16)
+    nodes = nodes.reshape(33, 33, 33, 3).astype(np.int16)
     np.save(path, nodes)
     return nodes
 
 
 @functools.lru_cache(maxsize=1)
-def _node_lut():
+def _node_lut3():
     if os.path.exists(_NODE_PATH):
         return np.load(_NODE_PATH).astype(np.int32)
     return generate_node_lut().astype(np.int32)
+
+
+def _node_lut():
+    return _node_lut3()[..., 0]
 
 
 @functools.lru_cache(maxsize=1)
@@ -77,14 +97,15 @@ def _u8_corner_tables():
     return (cx >> 9).astype(np.int32), ((cx & 511) >> 5).astype(np.int32)
 
 
-def lab_l_u8_np(rgb_u8):
-    """Exact numpy replica: (..., 3) uint8 RGB -> (...) int32 l_u8 values."""
+def _lab_n_np(rgb_u8):
+    """Exact numpy trilinear: (..., 3) uint8 RGB -> (..., 3) int lattice n
+    values (L_n in [0, 2^14]; a_n/b_n = (chan + 128) * 64)."""
     tx, w = _u8_corner_tables()
-    node = _node_lut().astype(np.int64)
+    node = _node_lut3().astype(np.int64)
     v = np.asarray(rgb_u8, np.int64)
     t = tx[v[..., 0]], tx[v[..., 1]], tx[v[..., 2]]
     f = w[v[..., 0]], w[v[..., 1]], w[v[..., 2]]
-    acc = np.zeros(v.shape[:-1], np.int64)
+    acc = np.zeros(v.shape[:-1] + (3,), np.int64)
     for dx in (0, 1):
         wx = f[0] if dx else 16 - f[0]
         ix = np.minimum(t[0] + dx, 32)
@@ -94,9 +115,28 @@ def lab_l_u8_np(rgb_u8):
             for dz in (0, 1):
                 wz = f[2] if dz else 16 - f[2]
                 iz = np.minimum(t[2] + dz, 32)
-                acc += node[ix, iy, iz] * (wx * wy * wz)
-    n = (acc + 2048) >> 12
-    return ((n * 255) >> 14).astype(np.int32)
+                acc += node[ix, iy, iz] * (wx * wy * wz)[..., None]
+    return (acc + 2048) >> 12
+
+
+def lab_l_u8_np(rgb_u8):
+    """Exact numpy replica: (..., 3) uint8 RGB -> (...) int32 l_u8 values."""
+    return ((_lab_n_np(rgb_u8)[..., 0] * 255) >> 14).astype(np.int32)
+
+
+def lab_chan_np(rgb_u8):
+    """(..., 3) uint8 RGB -> (l_u8 int32, ab (..., 2) f32).
+
+    ``l_u8`` is the u8-quantized CLAHE input plane; ``ab`` are the
+    normalized a/b channels, bit-identical to the host chain's
+    ``(cv2_a + 128) / 255``: cv2's f32 a satisfies a + 128 == n/64 exactly,
+    and the final /255 is a correctly-rounded f32 division on both sides.
+    """
+    n = _lab_n_np(rgb_u8)
+    l_u8 = ((n[..., 0] * 255) >> 14).astype(np.int32)
+    ab = (n[..., 1:].astype(np.float32) * np.float32(1.0 / 64.0)) \
+        / np.float32(255.0)
+    return l_u8, ab
 
 
 def _soft_corner_onehot(u8_chan, dtype):
@@ -118,20 +158,24 @@ def _soft_corner_onehot(u8_chan, dtype):
             + (iota == t + 1.0) * w[..., None]).astype(dtype)
 
 
-def lab_l_u8_jax(batch_u8, row_chunk=1):
-    """(N, H, W, 3) uint8 -> (N, H, W) int32 l_u8, bit-exact with cv2.
+def _lab_n_jax(batch_u8, channels, row_chunk=1):
+    """(N, H, W, 3) uint8 -> (N, H, W, len(channels)) int32 lattice n values.
 
     One MXU contraction per row-chunk: the (g, b) pair soft-one-hot
-    (integers <= 256, exact in bf16) against the reshaped node LUT, then a
-    33-wide weighted sum by the r-channel weights. Scanned over row chunks
-    to bound the (px, 1089) transient. ~36 ms/batch-of-8 at 768x1024 on
-    v5e — faster than both a bf16 hi/lo-split variant (two matmuls double
-    the pair traffic) and the fused Pallas kernel (``lab_l_u8_pallas``).
+    (integers <= 256, exact in bf16) against the reshaped node LUT — all
+    requested output channels ride the same matmul (N pads to 128 lanes
+    either way) — then a 33-wide weighted sum by the r-channel weights.
+    Scanned over row chunks to bound the (px, 1089) transient. ~36
+    ms/batch-of-8 at 768x1024 on v5e — faster than both a bf16
+    hi/lo-split variant (two matmuls double the pair traffic) and the
+    fused Pallas kernel (``lab_l_u8_pallas``).
     """
-    import jax
-    import jax.numpy as jnp
-
-    node = jnp.asarray(_node_lut().reshape(33, 33 * 33).T, jnp.float32)
+    nodes = _node_lut3()[..., list(channels)]  # (33, 33, 33, C)
+    n_chan = nodes.shape[-1]
+    # (1089, 33 * C): pair rows x (r_corner, channel)
+    node = jnp.asarray(
+        nodes.reshape(33, 33 * 33, n_chan).transpose(1, 0, 2).reshape(
+            33 * 33, 33 * n_chan), jnp.float32)
     n, h, w_, _ = batch_u8.shape
     chunk = min(row_chunk, h)
     while h % chunk:
@@ -149,12 +193,36 @@ def lab_l_u8_jax(batch_u8, row_chunk=1):
                         preferred_element_type=jnp.float32)
         # t2 <= 2^22 is f32-exact; the final blend reaches 2^26, beyond
         # f32's exact-integer range — finish in int32
-        blend = (t2.astype(jnp.int32) * o_r.astype(jnp.int32)).sum(-1)
-        nval = (blend + 2048) >> 12
-        return None, (nval * 255) >> 14
+        t2 = t2.reshape(*v.shape[:-1], 33, n_chan).astype(jnp.int32)
+        blend = (t2 * o_r.astype(jnp.int32)[..., None]).sum(-2)
+        return None, (blend + 2048) >> 12
 
     _, out = jax.lax.scan(body, None, vals)
-    return jnp.moveaxis(out, 0, 1).reshape(n, h, w_).astype(jnp.int32)
+    return jnp.moveaxis(out, 0, 1).reshape(n, h, w_, n_chan)
+
+
+def lab_l_u8_jax(batch_u8, row_chunk=1):
+    """(N, H, W, 3) uint8 -> (N, H, W) int32 l_u8, bit-exact with cv2."""
+    nval = _lab_n_jax(batch_u8, (0,), row_chunk)[..., 0]
+    return ((nval * 255) >> 14).astype(jnp.int32)
+
+
+def lab_chan_jax(batch_u8, row_chunk=1):
+    """JAX version of ``lab_chan_np``: (l_u8 int32, ab f32), bit-exact."""
+    nval = _lab_n_jax(batch_u8, (0, 1, 2), row_chunk)
+    l_u8 = ((nval[..., 0] * 255) >> 14).astype(jnp.int32)
+    ab = (nval[..., 1:].astype(jnp.float32) * jnp.float32(1.0 / 64.0)) \
+        / jnp.float32(255.0)
+    return l_u8, ab
+
+
+def lab_normspace_jax(batch_u8, row_chunk=1):
+    """uint8 RGB -> the host's normalized lab space, bit-exact with cv2:
+    channel 0 = L/100 (== n_L / 2^14 exactly in f32), 1/2 = (chan+128)/255."""
+    nval = _lab_n_jax(batch_u8, (0, 1, 2), row_chunk).astype(jnp.float32)
+    ch0 = nval[..., :1] * jnp.float32(1.0 / LAB_BASE)
+    ab = (nval[..., 1:] * jnp.float32(1.0 / 64.0)) / jnp.float32(255.0)
+    return jnp.concatenate([ch0, ab], axis=-1)
 
 
 def _lab_l_pallas_kernel(img_ref, node_ref, out_ref, *, rows_per_block):

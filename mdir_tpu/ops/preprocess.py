@@ -138,11 +138,19 @@ class DeviceChain:
                  if name in ("apply_clahe", "add_clahe_fromrgb")]
         assert len(clahe) <= 1, "one CLAHE step per chain"
         self.device_l = False
+        self.exact_lab = False
+        conservative = _os.environ.get("MDIR_TPU_SHIP_L", "0") == "1"
+        if not conservative:
+            from .lab_trilinear import spot_check
+
+            # exact trilinear lab conversion (a/b channels included) is
+            # used wherever the chain touches lab space
+            self.exact_lab = spot_check("lab")
         if clahe:
             clip, space, grid = clahe[0]
             self.clahe_params = (float(clip), (int(grid), int(grid)))
             self.clahe_space = space
-            if _os.environ.get("MDIR_TPU_SHIP_L", "0") != "1":
+            if not conservative:
                 from .lab_trilinear import spot_check
 
                 self.device_l = space in ("lab", "lsh") and spot_check(space)
@@ -170,7 +178,7 @@ class DeviceChain:
     def key(self):
         return (tuple((n, tuple(a)) for n, a in self.steps),
                 tuple(self.mean_std[0]), tuple(self.mean_std[1]),
-                self.device_l)
+                self.device_l, self.exact_lab)
 
 
 def chain_from_transform(transform):
@@ -226,6 +234,7 @@ def make_bucketed_chain(chain):
     mean = jnp.asarray(chain.mean_std[0], jnp.float32)
     std = jnp.asarray(chain.mean_std[1], jnp.float32)
     device_l = chain.device_l
+    exact_lab = chain.exact_lab
     clahe_space = chain.clahe_space
 
     def clahe_chan(batch_u8, aux, grid):
@@ -247,19 +256,35 @@ def make_bucketed_chain(chain):
         for name, args in chain.steps:
             if name == "apply_clahe":
                 clip, space, grid = args
-                chan = clahe_chan(batch_u8, clahe_aux, (grid, grid))
-                if raw:
-                    spc = cs.rgb_u8_to_normspace(batch_u8[..., :3], space)
+                if raw and exact_lab and space == "lab":
+                    # one trilinear contraction yields the CLAHE plane AND
+                    # the a/b channels, all bit-exact with the host cv2
+                    # conversion (the extra matmul columns are free)
+                    from .lab_trilinear import lab_chan_jax
+
+                    l_u8, ab = lab_chan_jax(batch_u8[..., :3])
+                    chan = clahe_ops.clahe_u8_bucketed_jax(
+                        l_u8, clahe_aux, (grid, grid)) / 255.0
+                    spc = jnp.concatenate([chan[..., None], ab], axis=-1)
                 else:
-                    spc = cs.rgb2normspace(x[..., :3], space)
-                x = cs.normspace2rgb(spc.at[..., 0].set(chan), space)
+                    chan = clahe_chan(batch_u8, clahe_aux, (grid, grid))
+                    if raw:
+                        spc = cs.rgb_u8_to_normspace(batch_u8[..., :3], space)
+                    else:
+                        spc = cs.rgb2normspace(x[..., :3], space)
+                    spc = spc.at[..., 0].set(chan)
+                x = cs.normspace2rgb(spc, space)
                 raw = False
             elif name == "add_clahe_fromrgb":
                 clip, space, grid = args
                 chan = clahe_chan(batch_u8, clahe_aux, (grid, grid))
                 x = jnp.concatenate([x, chan[..., None]], axis=-1)
             elif name == "tospace":
-                if raw:
+                if raw and exact_lab and args[0].lower() == "lab":
+                    from .lab_trilinear import lab_normspace_jax
+
+                    x = lab_normspace_jax(batch_u8[..., :3])
+                elif raw:
                     x = cs.rgb_u8_to_normspace(batch_u8[..., :3], args[0])
                 else:
                     x = cs.rgb2normspace(x[..., :3], args[0])

@@ -54,6 +54,38 @@ def test_jax_kernel_bit_exact_vs_numpy():
     np.testing.assert_array_equal(out, lt.lab_l_u8_np(batch))
 
 
+def test_ab_channels_bit_exact_vs_host():
+    """The a/b normalized channels from the trilinear LUT equal the host
+    chain's (cv2 + 128)/255 bit for bit."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.data.transforms import rgb2normspace_np
+
+    rng = np.random.RandomState(5)
+    batch = rng.randint(0, 256, (2, 64, 96, 3)).astype(np.uint8)
+    host = np.stack([rgb2normspace_np(im.astype(np.float32) / 255.0, "lab")
+                     for im in batch])
+    l_np, ab_np = lt.lab_chan_np(batch)
+    np.testing.assert_array_equal(ab_np, host[..., 1:])
+    l_j, ab_j = lt.lab_chan_jax(jnp.asarray(batch))
+    np.testing.assert_array_equal(np.asarray(ab_j), host[..., 1:])
+    np.testing.assert_array_equal(np.asarray(l_j), l_np)
+
+
+def test_lab_normspace_bit_exact_vs_host():
+    """tospace:lab on device == the host cv2 conversion bit for bit
+    (including the L/100 channel)."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.data.transforms import rgb2normspace_np
+
+    rng = np.random.RandomState(6)
+    batch = rng.randint(0, 256, (1, 48, 80, 3)).astype(np.uint8)
+    host = rgb2normspace_np(batch[0].astype(np.float32) / 255.0, "lab")
+    dev = np.asarray(lt.lab_normspace_jax(jnp.asarray(batch)))[0]
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_pallas_kernel_bit_exact_interpret():
     import jax.numpy as jnp
 
@@ -84,8 +116,11 @@ def test_spot_check_gates():
                                  "pil2np | apply_clahe:3:lsh | totensor | "
                                  "normalize"])
 def test_device_l_chain_equals_shipped_l_chain(monkeypatch, dsl):
-    """The full bucketed device chain produces bit-identical output whether
-    the CLAHE input plane is shipped from host or recomputed on device."""
+    """The full bucketed device chain agrees whether the CLAHE input plane
+    is shipped from host or recomputed on device. For lsh the two modes are
+    bit-identical; for lab the default mode additionally upgrades the a/b
+    channels to cv2-bit-exact (the conservative ship mode keeps the float
+    colorspace), so those agree within the float path's ~1e-3."""
     import jax.numpy as jnp
 
     from mdir_tpu.data.transforms import initialize_transforms
@@ -97,13 +132,12 @@ def test_device_l_chain_equals_shipped_l_chain(monkeypatch, dsl):
 
     def build(ship):
         monkeypatch.setenv("MDIR_TPU_SHIP_L", "1" if ship else "0")
-        lt.spot_check.cache_clear()
         return chain_from_transform(initialize_transforms(dsl, mean_std))
 
     dev = build(False)
     shp = build(True)
     assert dev.device_l and not dev.ships_l
-    assert shp.ships_l and not shp.device_l
+    assert shp.ships_l and not shp.device_l and not shp.exact_lab
 
     rng = np.random.RandomState(3)
     shapes = [(72, 96), (96, 72)]
@@ -124,6 +158,46 @@ def test_device_l_chain_equals_shipped_l_chain(monkeypatch, dsl):
 
     out_dev = run(dev)
     out_shp = run(shp)
-    # valid extents must match bit for bit (the L planes are identical)
     for i, (h, w) in enumerate(shapes):
-        np.testing.assert_array_equal(out_dev[i, :h, :w], out_shp[i, :h, :w])
+        if "lsh" in dsl:
+            np.testing.assert_array_equal(out_dev[i, :h, :w],
+                                          out_shp[i, :h, :w])
+        else:
+            # ~1e-3 rgb-space float-colorspace delta, amplified ~4.4x by
+            # the normalize std; rare pixels cross a lab->rgb branch
+            # threshold between the two a/b variants
+            diff = np.abs(out_dev[i, :h, :w] - out_shp[i, :h, :w])
+            assert np.quantile(diff, 0.999) < 5e-2, np.quantile(diff, 0.999)
+            assert diff.max() < 0.2, diff.max()
+
+
+def test_exact_lab_chain_tighter_than_float_vs_host():
+    """With exact_lab the device apply_clahe chain's residual vs the host
+    chain is ONLY the inverse (lab->rgb) float conversion — strictly
+    tighter than the old float forward+inverse path."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.ops.clahe import clahe_bucket_aux
+    from mdir_tpu.ops.preprocess import chain_from_transform, \
+        make_bucketed_chain
+
+    mean_std = [[0.5, 0.5, 0.5], [0.25, 0.25, 0.25]]
+    dsl = "pil2np | apply_clahe | totensor | normalize"
+    transform = initialize_transforms(dsl, mean_std)
+    chain = chain_from_transform(transform)
+    assert chain.exact_lab and chain.device_l
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (64, 96, 3)).astype(np.uint8)
+    host = transform(Image.fromarray(img))
+
+    clip, grid = chain.clahe_params
+    aux = {k: jnp.asarray(v) for k, v in clahe_bucket_aux(
+        [(64, 96)], (64, 96), clip_limit=clip, grid=grid).items()}
+    dev = np.asarray(make_bucketed_chain(chain)(
+        jnp.asarray(img[None]), aux))[0]
+    # residual = inverse float conversion only; the forward (incl. a/b) is
+    # bit-exact. Normalized units with std 0.25: 4x the rgb-space delta.
+    assert np.abs(dev - host).max() < 2e-2
