@@ -332,11 +332,15 @@ def _hist_dynamic(padded, row_tile, col_tile, gh, gw, chunk=16):
     def body(acc, xs):
         vals, rhot = xs
         onehot = jax.nn.one_hot(vals, HIST_SIZE, dtype=jnp.bfloat16)
-        # exact: 0/1 products, f32 accumulation
+        # exact: 0/1 products, f32 accumulation. precision=HIGHEST on the
+        # second contraction is load-bearing: per_col_tile carries counts
+        # beyond bf16's exact-integer range, and XLA may otherwise demote
+        # the f32 operand to bf16 at some shapes
         per_col_tile = jnp.einsum("rwb,wt->rtb", onehot, colhot,
                                   preferred_element_type=jnp.float32)
         h = jnp.einsum("rtb,rg->gtb", per_col_tile, rhot,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         return acc + h, None
 
     hist, _ = jax.lax.scan(

@@ -147,7 +147,8 @@ def _lut_kernel(img_ref, out_ref, *, th, tw, clim, scale_f32):
     rows = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 1)
     tri = (cols <= rows).astype(jnp.float32)
-    cdf = jnp.dot(tri, hist, preferred_element_type=jnp.float32)
+    cdf = jnp.dot(tri, hist, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     lut = jnp.clip(jnp.round((cdf * scale_f32).astype(jnp.float32)), 0, 255)
     out_ref[pl.program_id(0), :] = lut
 

@@ -173,9 +173,15 @@ def _lab_n_jax(batch_u8, channels, row_chunk=1):
     nodes = _node_lut3()[..., list(channels)]  # (33, 33, 33, C)
     n_chan = nodes.shape[-1]
     # (1089, 33 * C): pair rows x (r_corner, channel)
+    flat = nodes.reshape(33, 33 * 33, n_chan).transpose(1, 0, 2).reshape(
+        33 * 33, 33 * n_chan)
+    # node values need 14 mantissa bits; bf16 holds 8. Ship the table as
+    # hi||lo halves (each < 2^7, bf16-exact) packed into the SAME matmul's
+    # output columns: exactness then follows from operand representability
+    # alone — no reliance on XLA precision modes (which demote f32 operands
+    # to bf16 at some shapes; observed 10% wrong outputs on v5e).
     node = jnp.asarray(
-        nodes.reshape(33, 33 * 33, n_chan).transpose(1, 0, 2).reshape(
-            33 * 33, 33 * n_chan), jnp.float32)
+        np.concatenate([flat >> 7, flat & 127], axis=1), jnp.bfloat16)
     n, h, w_, _ = batch_u8.shape
     chunk = min(row_chunk, h)
     while h % chunk:
@@ -189,11 +195,14 @@ def _lab_n_jax(batch_u8, channels, row_chunk=1):
         o_b = _soft_corner_onehot(v[..., 2], jnp.bfloat16)
         pair = (o_g[..., :, None] * o_b[..., None, :]).reshape(
             *v.shape[:-1], 33 * 33)
-        t2 = jnp.einsum("...p,pk->...k", pair, node,
-                        preferred_element_type=jnp.float32)
-        # t2 <= 2^22 is f32-exact; the final blend reaches 2^26, beyond
-        # f32's exact-integer range — finish in int32
-        t2 = t2.reshape(*v.shape[:-1], 33, n_chan).astype(jnp.int32)
+        t = jnp.einsum("...p,pk->...k", pair, node,
+                       preferred_element_type=jnp.float32)
+        # hi/lo <= 2^15 are exact; recombined t2 <= 2^22 is f32-exact; the
+        # final blend reaches 2^26, beyond f32's exact-integer range —
+        # finish in int32
+        w = 33 * n_chan
+        t2 = (t[..., :w] * jnp.float32(128.0) + t[..., w:]).reshape(
+            *v.shape[:-1], 33, n_chan).astype(jnp.int32)
         blend = (t2 * o_r.astype(jnp.int32)[..., None]).sum(-2)
         return None, (blend + 2048) >> 12
 
@@ -208,7 +217,14 @@ def lab_l_u8_jax(batch_u8, row_chunk=1):
 
 
 def lab_chan_jax(batch_u8, row_chunk=1):
-    """JAX version of ``lab_chan_np``: (l_u8 int32, ab f32), bit-exact."""
+    """JAX version of ``lab_chan_np``: (l_u8 int32, ab f32).
+
+    The integer lattice (and hence l_u8) is bit-exact on TPU (verified
+    exhaustively on hardware); the final normalized ab values match the
+    host to the last ulp of one f32 division (TPU lowers divide to a
+    reciprocal multiply — observed <= 1.2e-7, vastly below the ~1e-3
+    inverse-conversion float path that follows downstream).
+    """
     nval = _lab_n_jax(batch_u8, (0, 1, 2), row_chunk)
     l_u8 = ((nval[..., 0] * 255) >> 14).astype(jnp.int32)
     ab = (nval[..., 1:].astype(jnp.float32) * jnp.float32(1.0 / 64.0)) \
@@ -217,8 +233,9 @@ def lab_chan_jax(batch_u8, row_chunk=1):
 
 
 def lab_normspace_jax(batch_u8, row_chunk=1):
-    """uint8 RGB -> the host's normalized lab space, bit-exact with cv2:
-    channel 0 = L/100 (== n_L / 2^14 exactly in f32), 1/2 = (chan+128)/255."""
+    """uint8 RGB -> the host's normalized lab space: channel 0 = L/100
+    (== n_L / 2^14, exact — power-of-two scale), 1/2 = (chan+128)/255
+    (to the last ulp of the divide on TPU; see ``lab_chan_jax``)."""
     nval = _lab_n_jax(batch_u8, (0, 1, 2), row_chunk).astype(jnp.float32)
     ch0 = nval[..., :1] * jnp.float32(1.0 / LAB_BASE)
     ab = (nval[..., 1:] * jnp.float32(1.0 / 64.0)) / jnp.float32(255.0)
