@@ -420,12 +420,11 @@ def clahe_u8_bucketed_jax(batch_vals, aux, grid=(8, 8)):
     """CLAHE over a padded bucket: (B, BH, BW) int32 u8-values -> f32 u8-values.
 
     ``aux`` comes from ``clahe_bucket_aux``; values outside each image's
-    valid extent are garbage on output (mask downstream). With
-    ``MDIR_TPU_PALLAS=1`` on a TPU backend, the interpolation stage runs as
-    a Pallas kernel (within ±1 u8 of the bit-exact XLA contraction — the
-    kernel premultiplies the separable blend weights)."""
-    import os
-
+    valid extent are garbage on output (mask downstream). The interpolation
+    runs as the all-tile-lookup XLA contraction (``_interp_dynamic``, ~14
+    ms/batch-of-8 at 768x1024 on v5e) — it beats the Pallas interp kernel
+    (~47 ms, ±1 u8) that ``MDIR_TPU_PALLAS=1`` selected before the
+    contraction rewrite, so that gate now only covers pooling."""
     gh, gw = grid
 
     def tile_luts(vals, row_src, col_src, row_tile, col_tile, clim, scale):
@@ -436,13 +435,6 @@ def clahe_u8_bucketed_jax(batch_vals, aux, grid=(8, 8)):
     luts = jax.vmap(tile_luts)(batch_vals, aux["row_src"], aux["col_src"],
                                aux["row_tile"], aux["col_tile"], aux["clim"],
                                aux["scale"])
-
-    if os.environ.get("MDIR_TPU_PALLAS", "0") == "1" \
-            and jax.default_backend() == "tpu":
-        from .clahe_pallas import clahe_interp_bucketed_pallas
-
-        return clahe_interp_bucketed_pallas(batch_vals, luts, aux["inv_th"],
-                                            aux["inv_tw"], grid=grid)
 
     return jax.vmap(lambda v, l, ith, itw: _interp_dynamic(
         v, l, ith, itw, gh, gw))(batch_vals, luts, aux["inv_th"],

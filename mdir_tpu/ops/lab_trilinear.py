@@ -17,11 +17,14 @@ pipeline, measured here empirically and verified EXHAUSTIVELY over all
 
 Every quantity stays an exact small integer, so the device computation is
 bit-identical to the host chain: the soft one-hot corner weights (<= 16) are
-exact in bfloat16, the single (px, 1089) @ (1089, 33) MXU contraction
-accumulates integers < 2^24 exactly in float32, and the final descales are
-exact power-of-two float ops. This removes the shipped 4th uint8 plane from
-CLAHE-chain ingress (25% fewer bytes over the host->device link, and one
-cv2.cvtColor less per image on the 1-core host).
+exact in bfloat16, the node table ships as hi/lo halves (< 2^7 each,
+bf16-exact) packed into one (px, 1089) MXU contraction's output columns
+whose integer results recombine exactly in f32, and the final descales are
+exact power-of-two/int32 ops — no reliance on XLA precision modes, which
+demote f32 operands to bf16 at some shapes. This removes the shipped 4th
+uint8 plane from CLAHE-chain ingress (25% fewer bytes over the
+host->device link, and one cv2.cvtColor less per image on the 1-core
+host).
 
 The a/b output channels live on the same fixed-point lattices
 (chan = n/64 - 128, n in [0, 2^14]) and ride the SAME trilinear matmul as
@@ -162,13 +165,12 @@ def _lab_n_jax(batch_u8, channels, row_chunk=1):
     """(N, H, W, 3) uint8 -> (N, H, W, len(channels)) int32 lattice n values.
 
     One MXU contraction per row-chunk: the (g, b) pair soft-one-hot
-    (integers <= 256, exact in bf16) against the reshaped node LUT — all
-    requested output channels ride the same matmul (N pads to 128 lanes
-    either way) — then a 33-wide weighted sum by the r-channel weights.
-    Scanned over row chunks to bound the (px, 1089) transient. ~36
-    ms/batch-of-8 at 768x1024 on v5e — faster than both a bf16
-    hi/lo-split variant (two matmuls double the pair traffic) and the
-    fused Pallas kernel (``lab_l_u8_pallas``).
+    (integers <= 256, exact in bf16) against the hi/lo-packed node LUT —
+    all requested output channels and both table halves ride the same
+    matmul — then a 33-wide weighted sum by the r-channel weights. Scanned
+    over row chunks to bound the (px, 1089) transient (whose HBM round
+    trip, not FLOPs, is the cost: ~36 ms/batch-of-8 at 768x1024 on v5e;
+    the fused Pallas kernel ``lab_l_u8_pallas`` measured slower).
     """
     nodes = _node_lut3()[..., list(channels)]  # (33, 33, 33, C)
     n_chan = nodes.shape[-1]

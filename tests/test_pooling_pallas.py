@@ -53,7 +53,8 @@ def test_clahe_pallas_full_matches_numpy(rng):
 
 
 def test_clahe_interp_bucketed_pallas_close():
-    """The dynamic-extent Pallas interpolation (MDIR_TPU_PALLAS=1 path)
+    """The dynamic-extent Pallas interpolation (kept as an alternative to
+    the faster all-tile-lookup XLA contraction)
     matches the bit-exact XLA contraction within 1 u8 level (the kernel
     premultiplies the separable blend weights)."""
     import jax
