@@ -11,6 +11,8 @@ Reference semantics: mdir/components/data/transform/
 photometric_transforms.py:28-36, functional.py:109-129 (the CLAHE family
 feeds cv2 CLAHE with the u8-quantized colorspace L plane).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -104,6 +106,39 @@ def test_lsh_plane_exact():
     np.testing.assert_array_equal(lt.lsh_l_u8_np(u8), host)
     np.testing.assert_array_equal(
         np.asarray(lt.lsh_l_u8_jax(jnp.asarray(u8[None]))), host[None])
+
+
+@pytest.mark.skipif(os.environ.get("MDIR_TPU_EXHAUSTIVE", "0") != "1",
+                    reason="exhaustive 256^3 sweep; set MDIR_TPU_EXHAUSTIVE=1"
+                           " (run it on the TPU backend to seal the"
+                           " hardware-lowering claim — CPU tests cannot"
+                           " catch operand demotion)")
+def test_exhaustive_device_sweep():
+    """lab_l_u8_jax over ALL 256^3 RGB triples vs the live cv2 host chain.
+
+    This is the check that caught XLA demoting the f32 node table to bf16
+    at some shapes (10% wrong outputs) before the hi/lo packing fix.
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    g, b = np.meshgrid(np.arange(256, dtype=np.uint8),
+                       np.arange(256, dtype=np.uint8), indexing="ij")
+    bad = 0
+    for r0 in range(0, 256, 16):
+        rr = np.arange(r0, r0 + 16, dtype=np.uint8)
+        batch = np.stack([
+            np.broadcast_to(rr[:, None, None], (16, 256, 256)),
+            np.broadcast_to(g[None], (16, 256, 256)),
+            np.broadcast_to(b[None], (16, 256, 256))], axis=-1)
+        out = np.asarray(lt.lab_l_u8_jax(jnp.asarray(batch)))
+        flat = batch.reshape(16 * 256, 256, 3).astype(np.float32) \
+            / np.float32(255.0)
+        L = cv2.cvtColor(flat, cv2.COLOR_RGB2LAB)[..., 0]
+        truth = (L.astype(np.float32) / np.float32(100.0)
+                 * np.float32(255.0)).astype(np.uint8)
+        bad += int((out.reshape(16 * 256, 256) != truth).sum())
+    assert bad == 0, f"{bad} mismatches of 256^3"
 
 
 def test_spot_check_gates():
