@@ -206,6 +206,43 @@ def _measure_train_step(model, reps=3):
     return reps * len(tuples) / elapsed  # tuples/sec
 
 
+def _bench_chain_e2e(model, chain_dsl, mean_std, arrays, scales, msp,
+                     max_batch, compute_dtype, result):
+    """e2e streaming rate of the device CLAHE chain, best of 3 passes."""
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.ops.preprocess import chain_from_transform
+    from mdir_tpu.parallel.extract import StreamingExtractor
+
+    cchain = chain_from_transform(initialize_transforms(
+        chain_dsl, list(mean_std)))
+    craw = [cchain.host_input(a[..., :3]) for a in arrays]
+
+    def run_chain():
+        ext = StreamingExtractor(
+            model, scales=scales, msp=msp, max_batch=max_batch,
+            compute_dtype=compute_dtype, device_chain=cchain)
+        for i, arr in enumerate(craw):
+            ext.add(i, arr)
+        return ext.finish(len(craw))
+
+    run_chain()  # compile + warm
+    c_elapsed = float("inf")
+    for _ in range(3):
+        start = time.time()
+        cvecs = run_chain()
+        c_elapsed = min(c_elapsed, time.time() - start)
+    assert np.isfinite(cvecs).all()
+    c_bytes = sum(a.nbytes for a in craw)
+    # the tunnel swings minute to minute: measure its ceiling at this
+    # moment so the chain number carries its own saturation
+    c_tunnel = _measure_tunnel(
+        np.concatenate([a.reshape(-1) for a in craw[:max_batch]]))
+    result["clahe_chain_e2e_imgs_per_sec"] = round(len(craw) / c_elapsed, 2)
+    result["clahe_chain_ingress_saturation"] = round(
+        (c_bytes / c_elapsed / 1e6) / c_tunnel, 2)
+    result["clahe_chain_ships_l"] = bool(cchain.ships_l)
+
+
 def main():
     from mdir_tpu.models import initialize_model
     from mdir_tpu.parallel.extract import extract_vectors_batched
@@ -337,44 +374,20 @@ def main():
 
         # e2e CLAHE-chain rate over the tunnel: with the device-computed L
         # plane the ingress is plain RGB u8 (25% fewer bytes than shipping
-        # the cv2 L plane as a 4th channel)
-        try:
-            from mdir_tpu.data.transforms import initialize_transforms
-            from mdir_tpu.ops.preprocess import chain_from_transform
-            from mdir_tpu.parallel.extract import StreamingExtractor
-
-            cchain = chain_from_transform(initialize_transforms(
-                "pil2np | apply_clahe | totensor | normalize",
-                list(mean_std)))
-            craw = [cchain.host_input(a[..., :3]) for a in arrays]
-
-            def run_chain():
-                ext = StreamingExtractor(
-                    model, scales=scales, msp=msp, max_batch=max_batch,
-                    compute_dtype=compute_dtype, device_chain=cchain)
-                for i, arr in enumerate(craw):
-                    ext.add(i, arr)
-                return ext.finish(len(craw))
-
-            run_chain()  # compile + warm
-            c_elapsed = float("inf")
-            for _ in range(3):
-                start = time.time()
-                cvecs = run_chain()
-                c_elapsed = min(c_elapsed, time.time() - start)
-            assert np.isfinite(cvecs).all()
-            c_bytes = sum(a.nbytes for a in craw)
-            # the tunnel swings minute to minute: measure its ceiling at
-            # this moment so the chain number carries its own saturation
-            c_tunnel = _measure_tunnel(
-                np.concatenate([a.reshape(-1) for a in craw[:max_batch]]))
-            result["clahe_chain_e2e_imgs_per_sec"] = round(
-                len(craw) / c_elapsed, 2)
-            result["clahe_chain_ingress_saturation"] = round(
-                (c_bytes / c_elapsed / 1e6) / c_tunnel, 2)
-            result["clahe_chain_ships_l"] = bool(cchain.ships_l)
-        except Exception as exc:
-            result["clahe_chain_e2e_error"] = str(exc)[:200]
+        # the cv2 L plane as a 4th channel). Reuses the main timed run's
+        # numbers when BENCH_TRANSFORMS already selected this exact chain.
+        chain_dsl = "pil2np | apply_clahe | totensor | normalize"
+        if bench_transforms == chain_dsl:
+            result["clahe_chain_e2e_imgs_per_sec"] = result["value"]
+            result["clahe_chain_ingress_saturation"] = \
+                result["ingress_saturation"]
+            result["clahe_chain_ships_l"] = bool(chain.ships_l)
+        else:
+            try:
+                _bench_chain_e2e(model, chain_dsl, mean_std, arrays, scales,
+                                 msp, max_batch, compute_dtype, result)
+            except Exception as exc:
+                result["clahe_chain_e2e_error"] = str(exc)[:200]
 
         try:
             result["train_tuples_per_sec"] = round(_measure_train_step(model),

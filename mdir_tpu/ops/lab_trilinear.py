@@ -148,8 +148,6 @@ def _soft_corner_onehot(u8_chan, dtype):
     All-arithmetic (no gathers): cx is reproduced with the same correctly-
     rounded f32 ops cv2 uses, then corner/weight splits are exact VPU math.
     """
-    import jax.numpy as jnp
-
     v = u8_chan.astype(jnp.float32)
     cx = jnp.round(v / jnp.float32(255.0) * jnp.float32(LAB_BASE))
     tx = jnp.floor(cx * (1.0 / 512.0))
@@ -349,8 +347,6 @@ def lsh_l_u8_np(rgb_u8):
 
 
 def lsh_l_u8_jax(batch_u8):
-    import jax.numpy as jnp
-
     v = batch_u8[..., :3].astype(jnp.int32)
     return (jnp.max(v, axis=-1) + jnp.min(v, axis=-1)) >> 1
 

@@ -140,7 +140,12 @@ class DeviceChain:
         self.device_l = False
         self.exact_lab = False
         conservative = _os.environ.get("MDIR_TPU_SHIP_L", "0") == "1"
-        if not conservative:
+        touches_lab = any(
+            (name in ("apply_clahe", "add_clahe_fromrgb")
+             and args[1] == "lab")
+            or (name == "tospace" and args[0].lower() == "lab")
+            for name, args in steps)
+        if not conservative and touches_lab:
             from .lab_trilinear import spot_check
 
             # exact trilinear lab conversion (a/b channels included) is
