@@ -305,6 +305,10 @@ def unpack_clahe_aux(ints, scalars, bucket_hw, grid):
     """In-graph inverse of ``pack_clahe_aux`` (static bucket/grid shapes)."""
     gh, gw = grid
     rh = bucket_hw[0] + gh
+    # a bucket/grid mismatch vs the pack_clahe_aux call would silently
+    # mis-slice row maps into column maps — fail loudly instead
+    assert ints.shape[1] == rh + bucket_hw[1] + gw, \
+        (ints.shape, bucket_hw, grid)
     return {
         "row_src": ints[:, :rh, 0], "row_tile": ints[:, :rh, 1],
         "col_src": ints[:, rh:, 0], "col_tile": ints[:, rh:, 1],

@@ -147,6 +147,21 @@ def _soft_corner_onehot(u8_chan, dtype):
 
     All-arithmetic (no gathers): cx is reproduced with the same correctly-
     rounded f32 ops cv2 uses, then corner/weight splits are exact VPU math.
+
+    Tie-margin argument (why the TPU's reciprocal-multiply divide is safe):
+    ``v / 255`` on TPU may differ from the IEEE-correctly-rounded quotient
+    q by <= 1 ulp(q), so ``cx = round(q * 16384)`` sees a perturbation of
+    at most ``16384 * ulp(q)`` in cx units, and ``round`` only flips when
+    the exact product sits within that distance of a half-integer tie.
+    Enumerating all 256 values (q is a f32, so ``q * 16384`` is exact in
+    f64): every value's distance to the nearest .5 tie is >= 2x its own
+    1-ulp perturbation bound (tightest: v=253, distance 2^-9 vs
+    perturbation 2^-10; most values have orders of magnitude more slack).
+    The rounded cx, and hence the whole integer pipeline, is therefore
+    immune to the divide's slack as long as the lowering stays within
+    1 ulp. ``device_corner_check()`` additionally re-verifies all 256
+    values on the live backend at chain build, guarding lowerings that
+    drift beyond that contract.
     """
     v = u8_chan.astype(jnp.float32)
     cx = jnp.round(v / jnp.float32(255.0) * jnp.float32(LAB_BASE))
@@ -349,6 +364,32 @@ def lsh_l_u8_np(rgb_u8):
 def lsh_l_u8_jax(batch_u8):
     v = batch_u8[..., :3].astype(jnp.int32)
     return (jnp.max(v, axis=-1) + jnp.min(v, axis=-1)) >> 1
+
+
+@functools.lru_cache(maxsize=1)
+def device_corner_check():
+    """On-device guard: all 256 u8 values through ``_soft_corner_onehot``
+    must reproduce the exact ``_u8_corner_tables`` quantization.
+
+    The numpy ``spot_check`` validates the replica against cv2 but cannot
+    see a device-lowering drift (e.g. a future XLA revision whose divide
+    strays beyond the 1-ulp contract the tie-margin argument assumes — see
+    ``_soft_corner_onehot``). This runs the actual device computation once
+    per process; tiny (256x33) and jit-free of the hot path.
+    """
+    try:
+        onehot = np.asarray(
+            jax.jit(lambda v: _soft_corner_onehot(v, jnp.float32))(
+                jnp.arange(256, dtype=jnp.uint8)))
+    except Exception:  # pragma: no cover - no usable backend
+        return False
+    tx_ref, w_ref = _u8_corner_tables()
+    # decode (tx, w) back out of the soft one-hot rows
+    expect = np.zeros((256, 33), np.float32)
+    idx = np.arange(256)
+    expect[idx, tx_ref] += 16.0 - w_ref
+    expect[idx, np.minimum(tx_ref + 1, 32)] += w_ref
+    return bool((onehot == expect).all())
 
 
 @functools.lru_cache(maxsize=4)

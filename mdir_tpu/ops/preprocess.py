@@ -146,19 +146,22 @@ class DeviceChain:
             or (name == "tospace" and args[0].lower() == "lab")
             for name, args in steps)
         if not conservative and touches_lab:
-            from .lab_trilinear import spot_check
+            from .lab_trilinear import device_corner_check, spot_check
 
             # exact trilinear lab conversion (a/b channels included) is
-            # used wherever the chain touches lab space
-            self.exact_lab = spot_check("lab")
+            # used wherever the chain touches lab space; both the numpy
+            # replica (vs live cv2) and the device corner quantization
+            # (vs the exact tables) must check out
+            self.exact_lab = spot_check("lab") and device_corner_check()
         if clahe:
             clip, space, grid = clahe[0]
             self.clahe_params = (float(clip), (int(grid), int(grid)))
             self.clahe_space = space
             if not conservative:
-                from .lab_trilinear import spot_check
+                from .lab_trilinear import device_corner_check, spot_check
 
-                self.device_l = space in ("lab", "lsh") and spot_check(space)
+                self.device_l = space in ("lab", "lsh") and spot_check(space) \
+                    and (space != "lab" or device_corner_check())
         else:
             self.clahe_params = None
             self.clahe_space = None

@@ -102,3 +102,58 @@ def test_htmlreport_renders_iteration_blobs(tmp_path, rng):
     report = (tmp_path / "report.html").read_text()
     assert "train_data/input" in report
     assert "missing blob" not in report
+
+
+def test_tensorboard_streamer_with_fake_writer(tmp_path, monkeypatch):
+    """tensorboardX is absent in this environment; exercise the Tensorboard
+    streamer/sink (tools/events.py) against a faked SummaryWriter so the
+    class actually runs: live scalar rows and per-epoch summaries."""
+    import sys
+    import types
+
+    calls = []
+
+    class FakeWriter:
+        def __init__(self, path):
+            calls.append(("init", path))
+
+        def add_scalar(self, tag, value, step):
+            calls.append(("scalar", tag, float(value), int(step)))
+
+    mod = types.ModuleType("tensorboardX")
+    mod.SummaryWriter = FakeWriter
+    monkeypatch.setitem(sys.modules, "tensorboardX", mod)
+
+    events = initialize_processor({"tensorboard": True},
+                                  dataroot=str(tmp_path))
+    _feed_epoch(events, 0, [2.0, 1.5], score=0.4)
+
+    assert calls[0] == ("init", str(tmp_path))
+    live = [c for c in calls if c[0] == "scalar"
+            and c[1].startswith("train/learning/loss")]
+    # 2 live iterations streamed at their global step
+    assert [(c[2], c[3]) for c in live[:2]] == [(2.0, 0), (1.5, 1)]
+    # close_epoch feeds the sink: per-epoch aggregates under epoch/
+    epoch_rows = {c[1]: c[2] for c in calls
+                  if c[0] == "scalar" and c[1].startswith("epoch/")}
+    assert epoch_rows["epoch/train/learning/loss/total"] == pytest.approx(1.75)
+    assert epoch_rows["epoch/val/learning/score/total"] == pytest.approx(0.4)
+
+
+def test_tensorboard_without_tensorboardx_warns(tmp_path, monkeypatch):
+    import builtins
+    import sys
+
+    monkeypatch.setitem(sys.modules, "tensorboardX", None)
+    real_import = builtins.__import__
+
+    def block(name, *args, **kwargs):
+        if name == "tensorboardX":
+            raise ImportError(name)
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", block)
+    with pytest.warns(UserWarning, match="tensorboardX not available"):
+        events = initialize_processor({"tensorboard": True},
+                                      dataroot=str(tmp_path))
+    _feed_epoch(events, 0, [1.0], score=0.1)  # disabled writer is a no-op

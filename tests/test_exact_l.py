@@ -236,3 +236,10 @@ def test_exact_lab_chain_tighter_than_float_vs_host():
     # residual = inverse float conversion only; the forward (incl. a/b) is
     # bit-exact. Normalized units with std 0.25: 4x the rgb-space delta.
     assert np.abs(dev - host).max() < 2e-2
+
+
+def test_device_corner_check():
+    """The on-device corner quantization (the only stage exposed to the
+    TPU divide's 1-ulp slack) reproduces the exact u8 tables."""
+    lt.device_corner_check.cache_clear()
+    assert lt.device_corner_check()
