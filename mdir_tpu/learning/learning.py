@@ -1,11 +1,14 @@
-"""TrainValLearning: the top training object.
+"""Top-level training session: network + training + validation + telemetry.
 
-Parity with ``mdir/learning/learning.py``: owns network / training /
-validation / events / resources / checkpoints; resume-from-checkpoint in
-``initialize`` with validation+data consistency asserts; iterator yields
-``Epoch(epoch, train, vals)``; ``close_epoch`` saves events + checkpoint with
-is_best from the decisive criterion; ``metadata`` returns metrics /
-best_epoch / resource usage / code version.
+Capability parity with the reference's session object (the
+``TrainValLearning`` registry entry, ``mdir/learning/learning.py``) with an
+independent structure: scenario-shape checks live in
+:func:`_check_scenario_shape`, the restore-vs-fresh split is a single
+:func:`_open_session` function returning a plain dict of components, and
+resume-consistency policy lives in ``resume.py``. Externally pinned
+contract (e2e + resume tests): the scenario key sets, the checkpoint
+payload layout (``training/validation/datasets/events/resources``), the
+``Epoch(epoch, train, vals)`` iteration protocol, and the metadata dict.
 """
 import copy
 from collections import namedtuple
@@ -15,13 +18,76 @@ from ..tools.stats import CodeVersion, ResourceUsage
 from ..tools.utils import indent
 from .checkpoints import Checkpoints
 from .network import initialize_network
+from .resume import check_session_consistency
 from .training import initialize_training
 from .validation import initialize_validation
 
+Epoch = namedtuple("Epoch", ["epoch", "train", "vals"])
+
+
+def _check_scenario_shape(params):
+    """Strict section-shape asserts (reference idiom: typos fail loudly)."""
+    assert params.keys() == {"network", "learning", "output", "data"}, \
+        params.keys()
+    learning = params["learning"]
+    assert learning["type"] == TrainValLearning.__name__, learning["type"]
+    assert learning.keys() == {"type", "checkpoints", "training",
+                               "validation"}, learning.keys()
+
+
+def _open_session(params, data, device):
+    """Restore from the latest checkpoint if one exists, else start fresh.
+
+    Returns the component dict consumed by ``TrainValLearning``; the
+    restored branch threads each subsystem's saved state into its
+    initializer and re-checks scenario consistency.
+    """
+    ckpt_spec = params["learning"]["checkpoints"]
+    checkpoints = Checkpoints(**ckpt_spec)
+    events_root = checkpoints.directory / "../epochs"
+    saved = checkpoints.load_latest_epoch(
+        params["learning"]["training"]["epochs"])
+
+    if saved is None:
+        components = {
+            "network": initialize_network(params["network"], device),
+            "events": initialize_processor(params["output"]["learning"],
+                                           events_root),
+            "resources": ResourceUsage.initialize(),
+        }
+        components["training"] = initialize_training(
+            params["learning"]["training"], components["network"], data,
+            params["data"], device)
+    else:
+        net_state, train_stats = saved
+        check_session_consistency(train_stats, params)
+        components = {
+            "network": initialize_network(params["network"], device,
+                                          net_state, None),
+            "events": initialize_processor(params["output"]["learning"],
+                                           events_root,
+                                           train_stats["events"]),
+            "resources": ResourceUsage.initialize_from_state(
+                train_stats["resources"]),
+        }
+        components["training"] = initialize_training(
+            params["learning"]["training"], components["network"], data,
+            params["data"], device, state=train_stats["training"])
+
+    components["checkpoints"] = checkpoints
+    components["validation"] = initialize_validation(
+        params["learning"]["validation"], data=data,
+        params_data=params["data"],
+        default_criterion=components["training"].criterion,
+        net_defaults=components["network"].network_params.runtime.get(
+            "data", {}))
+    return components
+
 
 class TrainValLearning:
+    """Iterable session yielding ``Epoch(epoch, train, vals)`` per epoch."""
 
-    Epoch = namedtuple("Epoch", ["epoch", "train", "vals"])
+    Epoch = Epoch
 
     def __init__(self, params, network, training, validation, events,
                  resources, checkpoints):
@@ -36,69 +102,38 @@ class TrainValLearning:
 
     @classmethod
     def initialize(cls, params, data, device=None):
-        store_params = copy.deepcopy(params)
-        assert params.keys() == {"network", "learning", "output", "data"}, \
-            params.keys()
-        assert params["learning"]["type"] == cls.__name__
-        assert params["learning"].keys() == {"type", "checkpoints", "training",
-                                             "validation"}, \
-            params["learning"].keys()
-
-        checkpoints = Checkpoints(**params["learning"]["checkpoints"])
-        state = checkpoints.load_latest_epoch(
-            params["learning"]["training"]["epochs"])
-        if state is not None:
-            network = initialize_network(params["network"], device, state[0], None)
-            training = initialize_training(
-                params["learning"]["training"], network, data, params["data"],
-                device, state[1]["training"])
-            events = initialize_processor(
-                params["output"]["learning"],
-                checkpoints.directory / "../epochs", state[1]["events"])
-            resources = ResourceUsage.initialize_from_state(state[1]["resources"])
-        else:
-            network = initialize_network(params["network"], device)
-            training = initialize_training(
-                params["learning"]["training"], network, data, params["data"],
-                device)
-            events = initialize_processor(params["output"]["learning"],
-                                          checkpoints.directory / "../epochs")
-            resources = ResourceUsage.initialize()
-
-        if state is not None:
-            assert state[1]["validation"]["params"] == \
-                params["learning"]["validation"]
-            assert state[1]["datasets"] == params["data"]
-
-        net_defaults = network.network_params.runtime.get("data", {})
-        validation = initialize_validation(
-            params["learning"]["validation"], data=data,
-            params_data=params["data"], default_criterion=training.criterion,
-            net_defaults=net_defaults)
-
-        return cls(store_params, network, training, validation, events,
-                   resources, checkpoints)
+        declared = copy.deepcopy(params)
+        _check_scenario_shape(params)
+        return cls(declared, **_open_session(params, data, device))
 
     def close_epoch(self):
+        """Flush the epoch's events, then checkpoint everything."""
         self.events.close_epoch()
-        train_stats = {
-            "training": self.training.state_dict(),
-            "validation": {"params": self.params["learning"]["validation"]},
-            "datasets": self.params["data"],
-            "events": self.events.state_dict(),
-            "resources": self.resources.state_dict(),
-        }
+        decisive = self.validation.decisive_criterion
         self.checkpoints.save_epoch(
-            self.network.state_dict(), train_stats, self.training.epoch,
-            self.events.metadata.is_last_best(self.validation.decisive_criterion),
+            self.network.state_dict(), self._session_payload(),
+            self.training.epoch,
+            self.events.metadata.is_last_best(decisive),
             not self.training.remains_epochs)
+
+    def _session_payload(self):
+        """Everything beyond network weights a resume needs (layout is the
+        checkpoint-compat contract — see module docstring)."""
+        scenario = self.params
+        payload = {"training": self.training.state_dict()}
+        payload["validation"] = {"params": scenario["learning"]["validation"]}
+        payload["datasets"] = scenario["data"]
+        payload["events"] = self.events.state_dict()
+        payload["resources"] = self.resources.state_dict()
+        return payload
 
     @property
     def metadata(self):
+        keeper = self.events.metadata
+        decisive = self.validation.decisive_criterion
         return {
-            "metrics": self.events.metadata.metadata(),
-            "best_epoch": self.events.metadata.best_epoch(
-                self.validation.decisive_criterion),
+            "metrics": keeper.metadata(),
+            "best_epoch": keeper.best_epoch(decisive),
             "resource_usage": self.resources.get_resources(),
             "code_version": self.code_version.versions,
         }
@@ -107,13 +142,13 @@ class TrainValLearning:
         return self
 
     def __next__(self):
-        epoch, train = next(self.training)
-        return self.Epoch(epoch=epoch, train=train,
-                          vals=self.validation.validations(epoch))
+        epoch, steps = next(self.training)
+        return Epoch(epoch=epoch, train=steps,
+                     vals=self.validation.validations(epoch))
 
     def __repr__(self):
         return ("%s (\n  network: %s\n  training: %s\n  validation: %s\n)"
-                % (self.__class__.__name__, indent(str(self.network)),
+                % (type(self).__name__, indent(str(self.network)),
                    indent(str(self.training)), indent(str(self.validation))))
 
 

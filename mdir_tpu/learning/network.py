@@ -1,18 +1,23 @@
 """Network abstraction: params pytree + jitted apply + composable wrappers.
 
-Structural parity with ``mdir/learning/network.py``: the ``Network`` ABC with
-train/eval/freeze/parameters and stage-dependent wrapper sets, SingleNetwork
-(model + NetworkParams(model, runtime), pretrained-path loading with
-``load_from_checkpoint`` runtime inheritance, ``overlay_params`` frozen
-copies), SequentialNetwork (U-Net -> embedder composition; wrappers from the
-last net, data defaults from the first), and CirNetwork (mean/std injection,
-frozen BatchNorm in training, pool-p 10x-lr/0-wd optimizer param groups).
+Capability parity with the reference network layer
+(``mdir/learning/network.py``): stage-dependent wrapper sets, pretrained
+loading with ``load_from_checkpoint`` runtime inheritance, frozen overlay
+copies for validation, 2-net sequential composition (wrappers from the last
+net, data defaults from the first), and the retrieval-specific CirNetwork
+(mean/std injection, frozen BatchNorm, pool-p 10x-lr/0-wd optimizer group).
 
 TPU-native execution: a network holds a flax Model; ``__call__`` routes a
 single image (or image list) through the eval wrappers around one jitted
 apply (retraced per input shape, cached by XLA). Descriptor models keep the
 reference's D x N output convention at this boundary. Training uses the
-functional path in ``learning/training.py`` (loss as a function of params).
+functional path in ``learning/train_step.py`` (loss as a function of
+params).
+
+Checkpoint-compat schemas (pinned by resume/e2e tests, do not change): the
+single-net payload ``{"net": {type, frozen, network_params, model_state}}``
+and the multi-net flat payload where each subnet's entries are keyed by its
+name with a ``"net"`` header carrying ``sequence`` + ``network_hierarchy``.
 """
 import copy
 import time
@@ -27,10 +32,75 @@ from ..models import weight_init
 from ..tools.utils import indent, load_url
 from .wrappers import initialize_wrappers
 
+TRAIN, EVAL = "train", "eval"
+# compute_dtype extends the reference's runtime surface (data/wrappers/
+# frozen) so the yaml scenario system reaches the fast compute path:
+# float32 | bfloat16 | auto (bf16 + first-chunk guard on accelerators)
+_RUNTIME_KEYS = {"data", "wrappers", "frozen", "compute_dtype"}
+_DATA_KEYS = {"mean_std", "transforms"}
+
+
+def _build_stage_wrappers(spec, device=None):
+    """Per-stage wrapper Composes from a scenario spec: either one spec for
+    both stages, or an explicit {train, eval} pair."""
+    if isinstance(spec, dict):
+        assert spec.keys() == {TRAIN, EVAL}, spec.keys()
+        return {stage: initialize_wrappers(spec[stage], device)
+                for stage in spec}
+    both = {stage: initialize_wrappers(spec, device) for stage in (TRAIN, EVAL)}
+    return both
+
+
+def _inherit_runtime(requested, stored):
+    """Resolve ``load_from_checkpoint`` inheritance — the whole runtime
+    section, or individual keys, may defer to the checkpointed values."""
+    if requested == "load_from_checkpoint":
+        return stored
+    resolved = {}
+    for key, value in requested.items():
+        resolved[key] = stored[key] if value == "load_from_checkpoint" \
+            else value
+    return resolved
+
+
+def _restore_variables(model, model_state):
+    """Restore model variables from our nested-dict state or a torch flat
+    state dict (reference .pth checkpoints)."""
+    keys = set(model_state.keys())
+    looks_torch = any("." in str(k) for k in keys) \
+        or not (keys & {"params", "batch_stats"})
+    if looks_torch:
+        from ..models import torch_import
+
+        torch_import.import_model_state(model, model_state)
+    else:
+        model.variables = jax.tree.map(jnp.asarray, model_state)
+
+
+def _named_param_arrays(tree, prefix=""):
+    """Flatten a param pytree to {dotted.path: ndarray} for weight logs."""
+    acc = {}
+    for key, value in tree.items():
+        path = prefix + "." + key if prefix else key
+        if isinstance(value, dict):
+            acc.update(_named_param_arrays(value, path))
+        else:
+            acc[path] = np.asarray(value)
+    return acc
+
+
+def _label_by_path(tree, fn, path=()):
+    if isinstance(tree, dict):
+        return {k: _label_by_path(v, fn, path + (k,)) for k, v in tree.items()}
+    return fn(path, tree)
+
 
 class Network:
-    TRAIN = "train"
-    EVAL = "eval"
+    """Base: stage switching, freezing, trainable-parameter reporting."""
+
+    TRAIN = TRAIN
+    EVAL = EVAL
+    initialize_wrappers = staticmethod(_build_stage_wrappers)
 
     def __init__(self, frozen, model=None):
         self.stage = None
@@ -39,20 +109,13 @@ class Network:
         if frozen:
             self.eval()
 
-    @staticmethod
-    def initialize_wrappers(wrappers, device=None):
-        if isinstance(wrappers, dict):
-            assert wrappers.keys() == {"train", "eval"}, wrappers.keys()
-            return {x: initialize_wrappers(wrappers[x], device) for x in wrappers}
-        return {x: initialize_wrappers(wrappers, device) for x in ["train", "eval"]}
-
     def train(self):
         if not self.frozen:
-            self.stage = Network.TRAIN
+            self.stage = TRAIN
         return self
 
     def eval(self):
-        self.stage = Network.EVAL
+        self.stage = EVAL
         return self
 
     def freeze(self, net="net"):
@@ -62,38 +125,36 @@ class Network:
         return self
 
     def parameters(self, _optimizer_opts, net="net"):
-        """Return (param_tree, label_tree) of trainable params; empty if frozen.
+        """(param_tree, label_tree, group opts) of trainables; None if frozen.
 
-        The label tree assigns each leaf an optimizer group name (used by
-        optax.multi_transform); the default is a single 'default' group.
+        Labels assign each leaf an optimizer group (consumed by
+        optax.multi_transform); the base network is one 'default' group.
         """
         if self.frozen:
             return None
         params = self.model.params
-        labels = jax.tree.map(lambda _: "default", params)
-        return {"params": params, "labels": labels, "opts": {}}
+        return {"params": params,
+                "labels": jax.tree.map(lambda _: "default", params),
+                "opts": {}}
 
-    # Debug data
+    # --- debug / observability --------------------------------------------
 
     def train_data(self):
         return [{"key": "net/params", "dtype": "weight/param",
-                 "data": _flatten_params(self.model.params)}]
+                 "data": _named_param_arrays(self.model.params)}]
 
     def const_data(self):
-        acc = []
         graph = self.generate_network_graph()
-        if graph is not None:
-            acc.append({"key": "network_graph", "dtype": "blob",
-                        "data": {"net": {"dtype": "image:rgb", "data": graph}}})
-        return acc
+        if graph is None:
+            return []
+        return [{"key": "network_graph", "dtype": "blob",
+                 "data": {"net": {"dtype": "image:rgb", "data": graph}}}]
 
     def generate_network_graph(self):
         """Module summary rendered as an image blob (the reference renders a
         torchviz autograd graph; the flax equivalent is a tabulate table)."""
         try:
             import flax.linen as nn
-            import jax
-            import jax.numpy as jnp
             from PIL import Image, ImageDraw
 
             in_ch = self.model.meta.get("in_channels", 3) or 3
@@ -103,51 +164,34 @@ class Network:
                     jnp.zeros((1, 64, 64, in_ch)))
             lines = table.split("\n")[:200]
             width = min(max(len(l) for l in lines) * 7 + 20, 1600)
-            height = len(lines) * 12 + 20
-            img = Image.new("RGB", (width, height), "white")
+            img = Image.new("RGB", (width, len(lines) * 12 + 20), "white")
             draw = ImageDraw.Draw(img)
             for i, line in enumerate(lines):
                 draw.text((10, 10 + i * 12), line, fill="black")
-            import numpy as _np
-
-            return _np.asarray(img)
+            return np.asarray(img)
         except Exception:
             return None
 
 
-def _flatten_params(tree, prefix=""):
-    acc = {}
-    for key, value in tree.items():
-        path = "%s.%s" % (prefix, key) if prefix else key
-        if isinstance(value, dict):
-            acc.update(_flatten_params(value, path))
-        else:
-            acc[path] = np.asarray(value)
-    return acc
-
-
-def _tree_to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
-
-
 class SingleNetwork(Network):
+    """One model + its runtime (wrappers, data defaults, frozen flag)."""
 
     NetworkParams = namedtuple("NetworkParams", ["model", "runtime"])
 
     def __init__(self, model, network_params, device=None, frozen=False):
-        self.meta = {"in_channels": model.meta.get("in_channels"),
-                     "out_channels": model.meta.get("out_channels")}
-        self.network_params = network_params
-        self.wrappers = self.initialize_wrappers(
-            network_params.runtime.get("wrappers", ""), device)
-        self._jit_cache = {}
-        super().__init__(network_params.runtime.get("frozen", False) or frozen,
-                         model)
+        runtime = network_params.runtime
+        unknown = runtime.keys() - _RUNTIME_KEYS
+        assert not unknown, unknown
+        data_unknown = runtime.get("data", {}).keys() - _DATA_KEYS
+        assert not data_unknown, runtime.get("data", {}).keys()
 
-        assert not network_params.runtime.keys() - {"data", "wrappers", "frozen"}, \
-            network_params.runtime.keys() - {"data", "wrappers", "frozen"}
-        assert not network_params.runtime.get("data", {}).keys() - {"mean_std", "transforms"}, \
-            network_params.runtime.get("data", {}).keys()
+        self.meta = {side: model.meta.get(side)
+                     for side in ("in_channels", "out_channels")}
+        self.network_params = network_params
+        self.wrappers = _build_stage_wrappers(runtime.get("wrappers", ""),
+                                              device)
+        self._jit_cache = {}
+        super().__init__(runtime.get("frozen", False) or frozen, model)
 
     # --- inference ---------------------------------------------------------
 
@@ -155,15 +199,11 @@ class SingleNetwork(Network):
         key = id(self.model.module)
         if key not in self._jit_cache:
             module = self.model.module
-            accepts_train = models_lib._accepts_train(module)
-
-            if accepts_train:
-                def fn(variables, x):
-                    return module.apply(variables, x, train=False)
+            if models_lib._accepts_train(module):
+                fn = lambda variables, x: module.apply(variables, x,
+                                                       train=False)
             else:
-                def fn(variables, x):
-                    return module.apply(variables, x)
-
+                fn = lambda variables, x: module.apply(variables, x)
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
@@ -174,9 +214,7 @@ class SingleNetwork(Network):
         if x.ndim == 3:
             x = x[None]
         out = self._jitted_apply()(self.model.variables, x)
-        if self.model.is_descriptor_model:
-            return out.T  # (D, N)
-        return out
+        return out.T if self.model.is_descriptor_model else out
 
     def __call__(self, image):
         return self.wrappers[self.stage](image, self.inference, self.model)
@@ -186,105 +224,136 @@ class SingleNetwork(Network):
     @classmethod
     def initialize(cls, params, device=None):
         path = params.pop("path", None)
-        if not path:
-            network_params = cls.NetworkParams(params.pop("model"),
-                                               params.pop("runtime"))
-            model = models_lib.initialize_model(copy.deepcopy(network_params.model))
-            init = params.pop("initialize")
-            if init and init["weights"] != "default":
-                seed = init["seed"] if init["seed"] is not None else int(time.time())
-                rng = jax.random.PRNGKey(seed)
-                new_params = weight_init.WEIGHT_INITIALIZATIONS[init["weights"]](
-                    rng, model.params)
-                model.replace_params(new_params)
-        else:
-            print(">> Loaded net from %s" % path)
-            from .checkpoints import Checkpoints
-
-            checkpoint = Checkpoints.load_checkpoint_file(path)
-            runtime = params.pop("runtime")
-            if runtime == "load_from_checkpoint":
-                runtime = checkpoint["network_params"]["runtime"]
-            else:
-                runtime = {x: y if y != "load_from_checkpoint"
-                           else checkpoint["network_params"]["runtime"][x]
-                           for x, y in runtime.items()}
-            network_params = cls.NetworkParams(
-                checkpoint["network_params"]["model"], runtime)
-            model = models_lib.initialize_model(copy.deepcopy(network_params.model))
-            _load_model_state(model, checkpoint["model_state"])
-            params.pop("initialize", None)
-            if "model" in params:
-                assert params.pop("model") == checkpoint["network_params"]["model"]
-
+        built = cls._from_pretrained(path, params) if path \
+            else cls._from_scratch(params)
         assert not params, params.keys()
-        return cls(model, network_params, device=device, frozen=False)
+        return cls(built[0], built[1], device=device, frozen=False)
+
+    @classmethod
+    def _from_scratch(cls, params):
+        spec = cls.NetworkParams(params.pop("model"), params.pop("runtime"))
+        model = models_lib.initialize_model(copy.deepcopy(spec.model))
+        init = params.pop("initialize")
+        if init and init["weights"] != "default":
+            seed = init["seed"] if init["seed"] is not None \
+                else int(time.time())
+            fresh = weight_init.WEIGHT_INITIALIZATIONS[init["weights"]](
+                jax.random.PRNGKey(seed), model.params)
+            model.replace_params(fresh)
+        return model, spec
+
+    @classmethod
+    def _from_pretrained(cls, path, params):
+        print(">> Loaded net from %s" % path)
+        from .checkpoints import Checkpoints
+
+        checkpoint = Checkpoints.load_checkpoint_file(path)
+        stored = checkpoint["network_params"]
+        runtime = _inherit_runtime(params.pop("runtime"), stored["runtime"])
+        spec = cls.NetworkParams(stored["model"], runtime)
+        model = models_lib.initialize_model(copy.deepcopy(spec.model))
+        _restore_variables(model, checkpoint["model_state"])
+        params.pop("initialize", None)
+        if "model" in params:
+            assert params.pop("model") == stored["model"]
+        return model, spec
 
     def overlay_params(self, new_params, device=None):
+        """A frozen copy under different runtime (validation overlays)."""
         if not new_params:
             return self
         new_params["runtime"]["frozen"] = True
-        network_params = self.NetworkParams(self.network_params.model,
-                                            new_params.pop("runtime"))
+        overlaid = self.NetworkParams(self.network_params.model,
+                                      new_params.pop("runtime"))
         assert not new_params
-        return self.__class__(self.model, network_params, device, frozen=True)
+        return type(self)(self.model, overlaid, device, frozen=True)
 
     # --- load and save -----------------------------------------------------
 
     def state_dict(self):
-        return {
-            "net": {
-                "type": self.__class__.__name__,
-                "frozen": self.frozen,
-                "network_params": self.network_params._asdict(),
-                "model_state": _tree_to_numpy(self.model.variables),
-            }
-        }
+        payload = {"type": type(self).__name__,
+                   "frozen": self.frozen,
+                   "network_params": self.network_params._asdict(),
+                   "model_state": jax.tree.map(np.asarray,
+                                               self.model.variables)}
+        return {"net": payload}
 
     @classmethod
     def initialize_from_state(cls, state_dict, device=None, params=None,
                               runtime=None):
         assert state_dict.keys() == {"net"}, state_dict.keys()
-        checkpoint = state_dict["net"]
-        assert checkpoint.keys() == {"type", "frozen", "network_params",
-                                     "model_state"}, checkpoint.keys()
-        network_params = cls.NetworkParams(**checkpoint["network_params"])
+        payload = state_dict["net"]
+        assert payload.keys() == {"type", "frozen", "network_params",
+                                  "model_state"}, payload.keys()
+        assert payload["type"] == cls.__name__, payload["type"]
 
-        assert checkpoint["type"] == cls.__name__, checkpoint["type"]
+        spec = cls.NetworkParams(**payload["network_params"])
         if params is not None and "path" not in params:
             del params["initialize"]
-            assert network_params._asdict() == params, \
-                "%s != %s" % (network_params._asdict(), params)
+            assert spec._asdict() == params, \
+                "%s != %s" % (spec._asdict(), params)
 
-        model = models_lib.initialize_model(copy.deepcopy(network_params.model))
-        _load_model_state(model, checkpoint["model_state"])
-
+        model = models_lib.initialize_model(copy.deepcopy(spec.model))
+        _restore_variables(model, payload["model_state"])
         if runtime:
-            network_params.runtime.update(runtime)
-
-        return cls(model, network_params, device=device,
-                   frozen=checkpoint["frozen"])
+            spec.runtime.update(runtime)
+        return cls(model, spec, device=device, frozen=payload["frozen"])
 
     def __repr__(self):
         nice = "\n".join("    %s: %s," % (x, y)
                          for x, y in self.network_params._asdict().items())
         return "%s (\n  meta: %s\n  params: {\n%s\n  }\n)" % (
-            self.__class__.__name__, self.meta, indent(nice))
+            type(self).__name__, self.meta, indent(nice))
 
 
-def _load_model_state(model, model_state):
-    """Restore model variables from our nested-dict state or a torch flat
-    state dict (reference .pth checkpoints)."""
-    if any("." in str(k) for k in model_state.keys()) or \
-            not ({"params", "batch_stats"} & set(model_state.keys())):
-        from ..models import torch_import
+# --- sequential composition -------------------------------------------------
 
-        torch_import.import_model_state(model, model_state)
-    else:
-        model.variables = jax.tree.map(jnp.asarray, model_state)
+def _flatten_substates(networks, sequence):
+    """Collapse per-subnet state dicts into one flat payload.
+
+    Each subnet's ``"net"`` entry is re-keyed to its name; any nested
+    entries it carries keep their (already-prefixed) keys and are recorded
+    in the hierarchy map so ``_nest_substates`` can reassemble them. Key
+    collisions across subnets are a hard error.
+    """
+    flat, hierarchy = {}, {}
+    for name in sequence:
+        substate = networks[name].state_dict()
+        substate[name] = substate.pop("net")
+        clash = set(flat) & set(substate)
+        assert not clash, clash
+        hierarchy[name] = [key for key in substate if key != name]
+        flat.update(substate)
+    return flat, hierarchy
+
+
+def _nest_substates(flat, hierarchy, name):
+    """Inverse of ``_flatten_substates`` for one subnet."""
+    nested = {key: flat[key] for key in hierarchy[name]}
+    nested["net"] = flat[name]
+    return nested
+
+
+def _route_runtime_overrides(runtime, sequence):
+    """Wrapper overrides go to the last subnet, data defaults to the first
+    (mirrors how the composition exposes them)."""
+    routed = {name: None for name in sequence}
+    if runtime and "wrappers" in runtime:
+        routed[sequence[-1]] = {"wrappers": runtime.pop("wrappers")}
+    if runtime and "data" in runtime:
+        routed[sequence[0]] = {"data": runtime.pop("data")}
+    assert not runtime, runtime
+    return routed
 
 
 class SequentialNetwork(Network):
+    """A 2-net pipeline (e.g. U-Net translator -> embedder).
+
+    The composition presents itself as one network: the LAST subnet's
+    wrappers move up to the composition (and the subnet keeps none), the
+    FIRST subnet's data defaults become the composition's, and channel
+    compatibility across the junction is asserted.
+    """
 
     NetworkParams = namedtuple("NetworkParams", ["runtime"])
 
@@ -293,19 +362,18 @@ class SequentialNetwork(Network):
         assert len(networks) == 2, "Tested only for a sequence of 2 networks"
         self.sequence = sequence
         self.networks = networks
-        first_net = networks[sequence[0]]
-        last_net = networks[sequence[1]]
-        super().__init__(frozen, last_net.model)
+        head = networks[sequence[0]]
+        tail = networks[sequence[-1]]
+        super().__init__(frozen, tail.model)
 
-        self.wrappers = last_net.wrappers
-        last_net.wrappers = self.initialize_wrappers("", device)
-
+        self.wrappers, tail.wrappers = \
+            tail.wrappers, _build_stage_wrappers("", device)
         self.network_params = self.NetworkParams(
-            {"wrappers": last_net.network_params.runtime.get("wrappers"),
-             "data": first_net.network_params.runtime.get("data")})
-        assert first_net.meta["out_channels"] == last_net.meta["in_channels"]
-        self.meta = {"in_channels": first_net.meta["in_channels"],
-                     "out_channels": last_net.meta["out_channels"]}
+            {"wrappers": tail.network_params.runtime.get("wrappers"),
+             "data": head.network_params.runtime.get("data")})
+        assert head.meta["out_channels"] == tail.meta["in_channels"]
+        self.meta = {"in_channels": head.meta["in_channels"],
+                     "out_channels": tail.meta["out_channels"]}
 
     def __call__(self, image):
         return self.wrappers[self.stage](image, self.forward, self.model)
@@ -314,130 +382,112 @@ class SequentialNetwork(Network):
         return self.networks[key]
 
     def forward(self, image):
-        for net in self.sequence:
-            image = self.networks[net](image)
+        for name in self.sequence:
+            image = self.networks[name](image)
         return image
 
+    def _each(self, method):
+        for name in self.sequence:
+            getattr(self.networks[name], method)()
+
     def train(self):
-        for net in self.sequence:
-            self.networks[net].train()
-        self.stage = Network.TRAIN
+        self._each("train")
+        self.stage = TRAIN
         return self
 
     def eval(self):
-        for net in self.sequence:
-            self.networks[net].eval()
-        self.stage = Network.EVAL
+        self._each("eval")
+        self.stage = EVAL
         return self
 
     def freeze(self, net=None):
         if net is not None:
             self.networks[net].freeze()
             return self
-        for sub in self.sequence:
-            self.networks[sub].freeze()
+        self._each("freeze")
         self.frozen = True
         return self
 
     def parameters(self, optimizer_opts, net=None):
         if net is not None:
             return self.networks[net].parameters(optimizer_opts)
-        acc = {}
-        for sub in self.sequence:
-            sub_params = self.networks[sub].parameters(optimizer_opts)
-            if sub_params is not None:
-                acc[sub] = sub_params
-        return acc
+        reported = ((name, self.networks[name].parameters(optimizer_opts))
+                    for name in self.sequence)
+        return {name: groups for name, groups in reported
+                if groups is not None}
 
     @classmethod
     def initialize(cls, params, device=None):
         sequence = params.pop("sequence").split(",")
-        for net in params:
-            params[net] = NETWORKS[params[net].pop("type")].initialize(
-                params[net], device)
-        return cls(params, sequence, device=device, frozen=False)
+        built = {name: NETWORKS[spec.pop("type")].initialize(spec, device)
+                 for name, spec in params.items()}
+        return cls(built, sequence, device=device, frozen=False)
 
     def overlay_params(self, new_params, device=None):
         if not new_params:
             return self
-        diff = set(self.sequence) - set(new_params.keys())
-        assert not diff, diff
-        acc = {}
-        for net in self.sequence:
-            acc[net] = self.networks[net]
-            if net in new_params:
-                acc[net] = acc[net].overlay_params(new_params[net], device)
-        return self.__class__(acc, self.sequence, device=device, frozen=True)
+        missing = set(self.sequence) - set(new_params.keys())
+        assert not missing, missing
+        overlaid = {
+            name: self.networks[name].overlay_params(
+                new_params[name], device) if name in new_params
+            else self.networks[name]
+            for name in self.sequence}
+        return type(self)(overlaid, self.sequence, device=device, frozen=True)
 
     def state_dict(self):
-        network_hierarchy = {}
-        state = {}
-        for net in self.sequence:
-            netstate = self.networks[net].state_dict()
-            netstate[net] = netstate.pop("net")
-            intersection = set(state.keys()).intersection(netstate.keys())
-            assert not intersection, intersection
-            network_hierarchy[net] = [x for x in netstate if x != net]
-            state.update(netstate)
-        state["net"] = {
-            "type": self.__class__.__name__,
-            "frozen": self.frozen,
-            "sequence": self.sequence,
-            "network_hierarchy": network_hierarchy,
-        }
-        return state
+        flat, hierarchy = _flatten_substates(self.networks, self.sequence)
+        flat["net"] = {"type": type(self).__name__,
+                       "frozen": self.frozen,
+                       "sequence": self.sequence,
+                       "network_hierarchy": hierarchy}
+        return flat
 
     @classmethod
     def initialize_from_state(cls, state_dict, device=None, params=None,
                               runtime=None):
-        checkpoint = state_dict.pop("net")
-        assert checkpoint["type"] == cls.__name__
-        assert checkpoint.keys() == {"type", "frozen", "sequence",
-                                     "network_hierarchy"}, checkpoint.keys()
-        sequence = list(checkpoint["sequence"])
-        assert set(sequence) == set(checkpoint["network_hierarchy"].keys())
+        header = state_dict.pop("net")
+        assert header["type"] == cls.__name__
+        assert header.keys() == {"type", "frozen", "sequence",
+                                 "network_hierarchy"}, header.keys()
+        sequence = list(header["sequence"])
+        hierarchy = header["network_hierarchy"]
+        assert set(sequence) == set(hierarchy.keys())
 
-        runtime_propagated = {net: None for net in sequence}
-        if runtime and "wrappers" in runtime:
-            runtime_propagated[sequence[-1]] = {"wrappers": runtime.pop("wrappers")}
-        if runtime and "data" in runtime:
-            runtime_propagated[sequence[0]] = {"data": runtime.pop("data")}
-        assert not runtime, runtime
-
+        routed_runtime = _route_runtime_overrides(runtime, sequence)
         if params is not None:
-            params_sequence = params["sequence"].split(",")
-            assert sequence == params_sequence, (sequence, params_sequence)
+            declared = params["sequence"].split(",")
+            assert sequence == declared, (sequence, declared)
 
-        acc = {}
-        for net in checkpoint["network_hierarchy"]:
-            netparams = params[net] if params is not None else None
-            netstate = {x: state_dict[x]
-                        for x in checkpoint["network_hierarchy"][net]}
-            netstate["net"] = state_dict[net]
-            acc[net] = NETWORKS[state_dict[net]["type"]].initialize_from_state(
-                netstate, device, netparams, runtime_propagated[net])
-
-        return cls(acc, sequence, device=device, frozen=checkpoint["frozen"])
+        restored = {}
+        for name in hierarchy:
+            restored[name] = NETWORKS[
+                state_dict[name]["type"]].initialize_from_state(
+                    _nest_substates(state_dict, hierarchy, name), device,
+                    params[name] if params is not None else None,
+                    routed_runtime[name])
+        return cls(restored, sequence, device=device,
+                   frozen=header["frozen"])
 
     def train_data(self):
-        acc = []
-        for net in self.sequence:
-            td = self.networks[net].train_data()
-            acc += [{**x, "key": x["key"].replace("net/", net + "/")} for x in td]
-        return acc
+        rows = []
+        for name in self.sequence:
+            for row in self.networks[name].train_data():
+                rows.append({**row,
+                             "key": row["key"].replace("net/", name + "/")})
+        return rows
 
 
 class CirNetwork(SingleNetwork):
     """Retrieval network: injects model mean/std as data defaults, keeps
     BatchNorm frozen in training (trunks are built frozen_bn), and assigns
-    the GeM/pool p parameter a 10x-lr, 0-weight-decay optimizer group."""
+    the GeM/pool p parameter a 10x-lr, 0-weight-decay optimizer group
+    (reference ``network.py:392-428``)."""
 
     def __init__(self, model, network_params, device=None, frozen=False):
-        if "data" not in network_params.runtime:
-            network_params.runtime["data"] = {}
-        if "mean_std" not in network_params.runtime["data"]:
-            network_params.runtime["data"]["mean_std"] = [
-                model.meta["mean"], model.meta["std"]]
+        data_defaults = network_params.runtime.setdefault("data", {})
+        data_defaults.setdefault("mean_std",
+                                 [model.meta["mean"], model.meta["std"]])
         super().__init__(model, network_params, device, frozen)
 
     def parameters(self, optimizer_opts, net="net"):
@@ -445,22 +495,13 @@ class CirNetwork(SingleNetwork):
         if self.frozen:
             return None
         params = self.model.params
-
-        def label(path, _leaf):
-            # pool p: 10x lr, no weight decay (network.py:410-428)
-            if path and path[0] == "pool":
-                return "pool"
-            return "default"
-
-        labels = _tree_map_with_path(params, label)
-        opts = {"pool": {"lr_multiplier": 10.0, "weight_decay": 0.0}}
-        return {"params": params, "labels": labels, "opts": opts}
-
-
-def _tree_map_with_path(tree, fn, path=()):
-    if isinstance(tree, dict):
-        return {k: _tree_map_with_path(v, fn, path + (k,)) for k, v in tree.items()}
-    return fn(path, tree)
+        labels = _label_by_path(
+            params,
+            lambda path, _: "pool" if path and path[0] == "pool"
+            else "default")
+        return {"params": params, "labels": labels,
+                "opts": {"pool": {"lr_multiplier": 10.0,
+                                  "weight_decay": 0.0}}}
 
 
 NETWORKS = {
@@ -471,10 +512,8 @@ NETWORKS = {
 
 
 def initialize_network(params, device=None, state=None, runtime=None):
-    if params:
-        network_cls = NETWORKS[params.pop("type")]
-    else:
-        network_cls = NETWORKS[state["net"]["type"]]
+    label = params.pop("type") if params else state["net"]["type"]
+    cls = NETWORKS[label]
     if state:
-        return network_cls.initialize_from_state(state, device, params, runtime)
-    return network_cls.initialize(params, device)
+        return cls.initialize_from_state(state, device, params, runtime)
+    return cls.initialize(params, device)
