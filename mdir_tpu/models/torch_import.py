@@ -101,8 +101,14 @@ def _resnet_seq_remap(key):
 
 
 def _is_resnet_features(keys):
-    return any(k.split(".")[0] in ("4", "5", "6", "7") and "conv1" in k
-               for k in keys)
+    """Resnet Sequential keys look like '4.0.conv1.weight' — the block
+    index must be numeric (densenet's '4.denselayer1.conv1.weight' is not)."""
+    for key in keys:
+        parts = key.split(".")
+        if parts[0] in ("4", "5", "6", "7") and len(parts) > 2 \
+                and parts[1].isdigit() and "conv1" in key:
+            return True
+    return False
 
 
 def _set_path(tree, path, value):

@@ -1,9 +1,11 @@
-"""CNN feature trunks (AlexNet / VGG / ResNet) in flax, NHWC, torch-importable.
+"""CNN feature trunks (AlexNet / VGG / ResNet / DenseNet / SqueezeNet) in
+flax, NHWC, torch-importable — the full 16-architecture OUTPUT_DIM table.
 
 Architecture parity with the trunks the reference slices out of torchvision
 (``cirtorch/networks/imageretrievalnet.py:169-181``): the classifier head and
-the final maxpool (alexnet/vgg) or avgpool+fc (resnet) are dropped so trunks
-end in ReLU activations. Submodules are named after the torch state_dict keys
+the final maxpool (alexnet/vgg) or avgpool+fc (resnet) are dropped, densenet
+keeps all ``features`` children plus an appended ReLU, squeezenet keeps all
+``features`` children — so every trunk ends in non-negative activations. Submodules are named after the torch state_dict keys
 so checkpoint import is a pure name/layout mapping (see torch_import.py).
 
 BatchNorm runs frozen (running stats) by default — the only mode the
@@ -27,7 +29,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import BatchNorm, Conv, max_pool, relu
+from .layers import BatchNorm, Conv, avg_pool, max_pool, relu
 
 # (arch -> trunk output channels), reference imageretrievalnet.py:62-79
 OUTPUT_DIM = {
@@ -41,6 +43,12 @@ OUTPUT_DIM = {
     "resnet50": 2048,
     "resnet101": 2048,
     "resnet152": 2048,
+    "densenet121": 1024,
+    "densenet161": 2208,
+    "densenet169": 1664,
+    "densenet201": 1920,
+    "squeezenet1_0": 512,
+    "squeezenet1_1": 512,
 }
 
 # Total spatial stride of each trunk (bucket shapes should be multiples).
@@ -48,6 +56,9 @@ TOTAL_STRIDE = {
     "alexnet": 16, "vgg11": 16, "vgg13": 16, "vgg16": 16, "vgg19": 16,
     "resnet18": 32, "resnet34": 32, "resnet50": 32, "resnet101": 32,
     "resnet152": 32,
+    "densenet121": 32, "densenet161": 32, "densenet169": 32,
+    "densenet201": 32,
+    "squeezenet1_0": 16, "squeezenet1_1": 16,
 }
 
 
@@ -113,27 +124,152 @@ VGG_CFGS = {
 }
 
 
+def ceil_out_extent(valid, kernel, stride):
+    """torch ceil_mode pooling output size (padding 0)."""
+    return (valid - kernel + stride - 1) // stride + 1
+
+
+def max_pool_ceil(x, kernel_size, stride):
+    """torch MaxPool2d(ceil_mode=True, padding=0) over NHWC.
+
+    Tail windows that extend past the buffer see zero padding — exact for
+    the post-ReLU (non-negative, garbage-masked) inputs the squeezenet
+    trunk feeds it: torch's partial window maxes only valid cells, and
+    max(valid + {0}) == max(valid) when valid >= 0.
+    """
+    k = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
+        else kernel_size
+    s = (stride, stride) if isinstance(stride, int) else stride
+    h, w = x.shape[1], x.shape[2]
+    oh = ceil_out_extent(h, k[0], s[0])
+    ow = ceil_out_extent(w, k[1], s[1])
+    pad_h = (oh - 1) * s[0] + k[0] - h
+    pad_w = (ow - 1) * s[1] + k[1] - w
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    import flax.linen as fnn
+
+    return fnn.max_pool(x, window_shape=tuple(k), strides=tuple(s),
+                        padding="VALID")
+
+
+class Fire(nn.Module):
+    """squeezenet Fire: squeeze 1x1 -> (expand1x1 || expand3x3), all ReLU.
+
+    The squeeze output is masked before the 3x3 expand so bias garbage in
+    padded cells cannot leak across the valid boundary.
+    """
+    squeeze: int
+    expand1: int
+    expand3: int
+
+    @nn.compact
+    def __call__(self, x, valid_hw=None):
+        s = apply_valid_mask(relu(Conv(self.squeeze, 1, name="squeeze")(x)),
+                             valid_hw)
+        e1 = relu(Conv(self.expand1, 1, name="expand1x1")(s))
+        e3 = relu(Conv(self.expand3, 3, 1, 1, name="expand3x3")(s))
+        return apply_valid_mask(jnp.concatenate([e1, e3], axis=-1), valid_hw)
+
+
+class DenseLayer(nn.Module):
+    """torchvision _DenseLayer: BN-ReLU-1x1 -> BN-ReLU-3x3, concat output.
+
+    Masks after each ReLU: BatchNorm turns padded zeros into a per-channel
+    constant that the 3x3 conv would smear across the valid boundary.
+    """
+    growth: int
+    frozen_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, valid_hw=None):
+        y = relu(BatchNorm(self.frozen_bn, name="norm1")(x))
+        y = apply_valid_mask(y, valid_hw)
+        y = Conv(4 * self.growth, 1, use_bias=False, name="conv1")(y)
+        y = relu(BatchNorm(self.frozen_bn, name="norm2")(y))
+        y = apply_valid_mask(y, valid_hw)
+        y = Conv(self.growth, 3, 1, 1, use_bias=False, name="conv2")(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class DenseBlock(nn.Module):
+    layers: int
+    growth: int
+    frozen_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, valid_hw=None):
+        for i in range(self.layers):
+            x = DenseLayer(self.growth, self.frozen_bn,
+                           name="denselayer%d" % (i + 1))(x, valid_hw)
+        return x
+
+
+class DenseTransition(nn.Module):
+    """torchvision _Transition: BN-ReLU-1x1 conv, then 2x2 s2 avg pool."""
+    out_features: int
+    frozen_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, valid_hw=None):
+        y = relu(BatchNorm(self.frozen_bn, name="norm")(x))
+        y = apply_valid_mask(y, valid_hw)
+        y = Conv(self.out_features, 1, use_bias=False, name="conv")(y)
+        y = avg_pool(y, 2, 2)
+        if valid_hw is not None:
+            valid_hw = conv_out_extent(valid_hw, 2, 2, 0)
+            y = apply_valid_mask(y, valid_hw)
+        return y, valid_hw
+
+
 class SequentialFeatures(nn.Module):
-    """Conv/ReLU/MaxPool stack named by torchvision ``features.<idx>`` indices."""
+    """Feature stack named by torchvision ``features.<idx>`` indices.
+
+    Spec items: ``("conv", idx, out, k, s, p[, use_bias])``, ``("relu",)``,
+    ``("maxpool", k, s[, p])``, ``("maxpool_ceil", k, s)``, ``("bn", idx)``,
+    ``("fire", idx, squeeze, e1, e3)``, ``("denseblock", idx, growth, n)``,
+    ``("transition", idx, out)`` — covering alexnet/vgg plus the densenet
+    and squeezenet trunk assemblies (cirtorch slicing, see module docstring).
+    """
     spec: Tuple[Any, ...]
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x, valid_hw=None):
         for item in self.spec:
             kind = item[0]
             if kind == "conv":
-                _, idx, out, k, s, p = item
-                x = Conv(out, k, s, p, name=str(idx))(x)
+                _, idx, out, k, s, p = item[:6]
+                use_bias = item[6] if len(item) > 6 else True
+                x = Conv(out, k, s, p, use_bias=use_bias, name=str(idx))(x)
                 if valid_hw is not None:
                     valid_hw = conv_out_extent(valid_hw, k, s, p)
             elif kind == "relu":
                 x = relu(x)
                 x = apply_valid_mask(x, valid_hw)
             elif kind == "maxpool":
-                x = max_pool(x, item[1], item[2])
+                p = item[3] if len(item) > 3 else 0
+                x = max_pool(x, item[1], item[2], padding=p)
                 if valid_hw is not None:
-                    valid_hw = conv_out_extent(valid_hw, item[1], item[2], 0)
+                    valid_hw = conv_out_extent(valid_hw, item[1], item[2], p)
                     x = apply_valid_mask(x, valid_hw)
+            elif kind == "maxpool_ceil":
+                x = max_pool_ceil(x, item[1], item[2])
+                if valid_hw is not None:
+                    valid_hw = ceil_out_extent(valid_hw, item[1], item[2])
+                    x = apply_valid_mask(x, valid_hw)
+            elif kind == "bn":
+                x = BatchNorm(self.frozen_bn, name=str(item[1]))(x)
+            elif kind == "fire":
+                _, idx, sq, e1, e3 = item
+                x = Fire(sq, e1, e3, name=str(idx))(x, valid_hw)
+            elif kind == "denseblock":
+                _, idx, growth, layers = item
+                x = DenseBlock(layers, growth, self.frozen_bn,
+                               name=str(idx))(x, valid_hw)
+            elif kind == "transition":
+                x, valid_hw = DenseTransition(item[2], self.frozen_bn,
+                                              name=str(item[1]))(x, valid_hw)
             else:
                 raise ValueError(kind)
         return x, valid_hw
@@ -191,6 +327,59 @@ class Bottleneck(nn.Module):
         return apply_valid_mask(out, valid_hw), valid_hw
 
 
+# densenet: (initial features, growth rate, block sizes)
+DENSENET_CFGS = {
+    "densenet121": (64, 32, (6, 12, 24, 16)),
+    "densenet161": (96, 48, (6, 12, 36, 24)),
+    "densenet169": (64, 32, (6, 12, 32, 32)),
+    "densenet201": (64, 32, (6, 12, 48, 32)),
+}
+
+
+def _densenet_spec(arch):
+    """cirtorch slicing (imageretrievalnet.py:175-177): ALL of torchvision's
+    ``features`` children (Sequential re-indexes them 0..11) plus a trailing
+    ReLU so activations are non-negative."""
+    init, growth, blocks = DENSENET_CFGS[arch]
+    spec = [("conv", 0, init, 7, 2, 3, False), ("bn", 1), ("relu",),
+            ("maxpool", 3, 2, 1)]
+    channels = init
+    idx = 4
+    for bi, layers in enumerate(blocks):
+        spec.append(("denseblock", idx, growth, layers))
+        channels += layers * growth
+        idx += 1
+        if bi < len(blocks) - 1:
+            channels //= 2
+            spec.append(("transition", idx, channels))
+            idx += 1
+    spec += [("bn", idx), ("relu",)]
+    return tuple(spec)
+
+
+# squeezenet: cirtorch takes all of torchvision's ``features`` children
+# (imageretrievalnet.py:178-179); fire tuples are (squeeze, e1x1, e3x3)
+SQUEEZENET_SPECS = {
+    "squeezenet1_0": (
+        ("conv", 0, 96, 7, 2, 0), ("relu",), ("maxpool_ceil", 3, 2),
+        ("fire", 3, 16, 64, 64), ("fire", 4, 16, 64, 64),
+        ("fire", 5, 32, 128, 128), ("maxpool_ceil", 3, 2),
+        ("fire", 7, 32, 128, 128), ("fire", 8, 48, 192, 192),
+        ("fire", 9, 48, 192, 192), ("fire", 10, 64, 256, 256),
+        ("maxpool_ceil", 3, 2), ("fire", 12, 64, 256, 256),
+    ),
+    "squeezenet1_1": (
+        ("conv", 0, 64, 3, 2, 0), ("relu",), ("maxpool_ceil", 3, 2),
+        ("fire", 3, 16, 64, 64), ("fire", 4, 16, 64, 64),
+        ("maxpool_ceil", 3, 2),
+        ("fire", 6, 32, 128, 128), ("fire", 7, 32, 128, 128),
+        ("maxpool_ceil", 3, 2),
+        ("fire", 9, 48, 192, 192), ("fire", 10, 48, 192, 192),
+        ("fire", 11, 64, 256, 256), ("fire", 12, 64, 256, 256),
+    ),
+}
+
+
 RESNET_LAYERS = {
     "resnet18": (BasicBlock, (2, 2, 2, 2)),
     "resnet34": (BasicBlock, (3, 4, 6, 3)),
@@ -234,14 +423,26 @@ class ResNetFeatures(nn.Module):
 
 def make_trunk(architecture, frozen_bn=True, name=None):
     """Build the feature trunk module for an architecture label."""
-    if architecture == "alexnet":
-        return SequentialFeatures(ALEXNET_SPEC, name=name)
-    if architecture in VGG_CFGS:
-        return SequentialFeatures(_vgg_spec(VGG_CFGS[architecture]), name=name)
+    spec = _arch_spec(architecture)
+    if spec is not None:
+        return SequentialFeatures(spec, frozen_bn, name=name)
     if architecture in RESNET_LAYERS:
         block, layers = RESNET_LAYERS[architecture]
         return ResNetFeatures(block, layers, frozen_bn, name=name)
     raise ValueError("Unsupported or unknown architecture: %s" % architecture)
+
+
+def _arch_spec(architecture):
+    """SequentialFeatures spec for spec-driven trunks (None for resnets)."""
+    if architecture == "alexnet":
+        return ALEXNET_SPEC
+    if architecture in VGG_CFGS:
+        return _vgg_spec(VGG_CFGS[architecture])
+    if architecture in DENSENET_CFGS:
+        return _densenet_spec(architecture)
+    if architecture in SQUEEZENET_SPECS:
+        return SQUEEZENET_SPECS[architecture]
+    return None
 
 
 def trunk_valid_extent(architecture, hw):
@@ -257,19 +458,28 @@ def trunk_valid_extent(architecture, hw):
     def step(v, k, s, p):
         return (v + 2 * p - k) // s + 1
 
+    def ceil_step(v, k, s):
+        return (v - k + s - 1) // s + 1
+
     def run_spec(spec):
         nonlocal h, w
         for item in spec:
             if item[0] == "conv":
-                _, _, _, k, s, p = item
+                _, _, _, k, s, p = item[:6]
                 h, w = step(h, k, s, p), step(w, k, s, p)
             elif item[0] == "maxpool":
-                h, w = step(h, item[1], item[2], 0), step(w, item[1], item[2], 0)
+                p = item[3] if len(item) > 3 else 0
+                h, w = step(h, item[1], item[2], p), \
+                    step(w, item[1], item[2], p)
+            elif item[0] == "maxpool_ceil":
+                h, w = ceil_step(h, item[1], item[2]), \
+                    ceil_step(w, item[1], item[2])
+            elif item[0] == "transition":
+                h, w = step(h, 2, 2, 0), step(w, 2, 2, 0)
 
-    if architecture == "alexnet":
-        run_spec(ALEXNET_SPEC)
-    elif architecture in VGG_CFGS:
-        run_spec(_vgg_spec(VGG_CFGS[architecture]))
+    spec = _arch_spec(architecture)
+    if spec is not None:
+        run_spec(spec)
     elif architecture in RESNET_LAYERS:
         h, w = step(h, 7, 2, 3), step(w, 7, 2, 3)
         h, w = step(h, 3, 2, 1), step(w, 3, 2, 1)
