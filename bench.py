@@ -172,10 +172,12 @@ def _measure_chain_resident(model, mean_std, max_batch, shape, scales):
     return reps * max_batch / (time.time() - start)
 
 
-def _measure_train_step(model, reps=3):
-    """Training-step rate at the reference's production tuple geometry:
-    5 tuples x (q, p, 5 negatives) at image_size 362 (cirtorch train.py
-    defaults), whole-batch contrastive step with size-gated remat."""
+def _measure_train_step(model, compute_dtype="auto", reps=3):
+    """Training-step rate + MFU at the reference's production tuple
+    geometry: 5 tuples x (q, p, 5 negatives) at image_size 362 (cirtorch
+    train.py defaults), whole-batch contrastive step with size-gated remat.
+    ``compute_dtype`` follows the production policy (bf16 + first-step
+    guard on the chip) unless overridden."""
     import jax
 
     from mdir_tpu.learning.network import CirNetwork
@@ -186,7 +188,8 @@ def _measure_train_step(model, reps=3):
         model={}, runtime={"wrappers": ""}))
     criterion = initialize_criterion(
         {"loss": "contrastive", "margin": 0.7, "eps": 1e-6})
-    step = TrainStep(network, criterion, batch_average=True)
+    step = TrainStep(network, criterion, batch_average=True,
+                     compute_dtype=compute_dtype)
 
     rng = np.random.RandomState(3)
     tuples = [[rng.rand(362, 362, 3).astype(np.float32) for _ in range(7)]
@@ -197,13 +200,65 @@ def _measure_train_step(model, reps=3):
     key = jax.random.PRNGKey(0)
 
     (loss, _), grads = step.gradients(params, batch, valid, tgt, key)
-    _sync(jax.tree_util.tree_leaves(grads)[0])  # compile + warm
+    _sync(jax.tree_util.tree_leaves(grads)[0])  # compile + warm (+ guard)
+
+    flops = None
+    try:
+        lowered = step._grad_fn.lower(params, batch, valid, tgt, key, None)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     start = time.time()
     for _ in range(reps):
         (loss, _), grads = step.gradients(params, batch, valid, tgt, key)
     _sync(jax.tree_util.tree_leaves(grads)[0])
     elapsed = time.time() - start
-    return reps * len(tuples) / elapsed  # tuples/sec
+    tflops = (flops * reps / elapsed / 1e12) if flops else None
+    return (reps * len(tuples) / elapsed, tflops,
+            step.compute_dtype or "float32")  # tuples/sec
+
+
+def _measure_mining(model, mean_std, compute_dtype, dtype_guard,
+                    n_images=None, max_batch=16):
+    """Hard-negative-mining extraction rate: the reference's dominant
+    training cost (cirtorch traindataset.py:178-271 re-embeds ~24k images
+    per epoch at image_size 362, single scale). Measures the e2e streaming
+    rate (uint8 ingress over the link, fused device extraction) plus the
+    on-device ranking matmul, scaled down to the harness."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.ops.ranking import rank_database
+    from mdir_tpu.parallel.extract import extract_vectors_batched
+
+    n_images = n_images or int(os.environ.get("BENCH_MINING_IMAGES", "64"))
+    rng = np.random.RandomState(4)
+    shapes = [(271, 362), (362, 271), (362, 362)]
+    arrays = [(rng.rand(*shapes[i % 3], 3) * 255).astype(np.uint8)
+              for i in range(n_images)]
+
+    def run():
+        vecs = extract_vectors_batched(
+            model, arrays, scales=[1], msp=1.0, max_batch=max_batch,
+            normalize_mean_std=mean_std, compute_dtype=compute_dtype,
+            dtype_guard=dtype_guard)
+        # qsize:poolsize ~ 1:10 in production; rank the lot on device
+        n_q = max(n_images // 10, 1)
+        ranks = rank_database(jnp.asarray(vecs, jnp.float32),
+                              jnp.asarray(vecs[:, :n_q], jnp.float32))
+        return vecs, np.asarray(ranks)
+
+    run()  # compile + warm every bucket program
+    elapsed = float("inf")
+    for _ in range(3):
+        start = time.time()
+        vecs, _ranks = run()
+        elapsed = min(elapsed, time.time() - start)
+    assert np.isfinite(vecs).all()
+    return n_images / elapsed
 
 
 def _bench_chain_e2e(model, chain_dsl, mean_std, arrays, scales, msp,
@@ -267,7 +322,11 @@ def main():
     scales = [1, 1.0 / np.sqrt(2), 1.0 / 2]
     msp = float(model.pool_p)
     mean_std = (model.meta["mean"], model.meta["std"])
-    compute_dtype = os.environ.get("MDIR_TPU_COMPUTE_DTYPE") or None
+    # production dtype policy: bf16 + first-chunk guard on the chip,
+    # MDIR_TPU_COMPUTE_DTYPE still forces either way
+    from mdir_tpu.ops.dtypes import resolve_compute_dtype
+
+    compute_dtype, dtype_guard = resolve_compute_dtype({})
 
     # BENCH_TRANSFORMS="pil2np | apply_clahe | totensor | normalize" runs the
     # e2e pass through the device photometric chain (uint8 + host L plane
@@ -290,13 +349,15 @@ def main():
 
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, max_batch=max_batch,
-                compute_dtype=compute_dtype, device_chain=chain)
+                compute_dtype=compute_dtype, device_chain=chain,
+                dtype_guard=dtype_guard)
             for i, arr in enumerate(imgs):
                 extractor.add(i, arr)
             return extractor.finish(len(imgs))
         return extract_vectors_batched(
             model, imgs, scales=scales, msp=msp, max_batch=max_batch,
-            normalize_mean_std=mean_std, compute_dtype=compute_dtype)
+            normalize_mean_std=mean_std, compute_dtype=compute_dtype,
+            dtype_guard=dtype_guard)
 
     # warmup: compile every (bucket, batch) program the timed run will hit
     run(arrays[:2 * max_batch])
@@ -317,9 +378,12 @@ def main():
     probe = np.concatenate([a.reshape(-1) for a in arrays[:max_batch]])
     tunnel_mbps = _measure_tunnel(probe)
 
+    # headline resident rate runs the PRODUCTION dtype (bf16-guarded on
+    # the chip since round 3); f32 stays as the cross-check variant
     resident_args = _resident_args(model, mean_std, max_batch, shapes[0],
                                    tuple(scales))
-    resident, tflops, f32_vecs = _measure_resident(model, resident_args)
+    resident, tflops, headline_vecs = _measure_resident(
+        model, resident_args, compute_dtype=compute_dtype)
 
     result = {
         "metric": "multiscale_%s_gem_extraction" % arch,
@@ -329,6 +393,7 @@ def main():
         "device_resident_imgs_per_sec": round(resident, 1),
         "device_resident_vs_baseline": round(resident / REFERENCE_IMGS_PER_SEC,
                                              2),
+        "device_resident_dtype": compute_dtype or "float32",
         "ingress_mbps": round(ingress_mbps, 1),
         "tunnel_mbps": round(tunnel_mbps, 1),
         "ingress_saturation": round(ingress_mbps / tunnel_mbps, 2),
@@ -339,17 +404,16 @@ def main():
                                            3)
 
     if os.environ.get("BENCH_VARIANTS", "1") != "0":
-        bf16_rate, bf16_tflops, bf16_vecs = _measure_resident(
-            model, resident_args, compute_dtype="bfloat16")
-        cos = (f32_vecs * bf16_vecs).sum(axis=1) / (
-            np.linalg.norm(f32_vecs, axis=1)
-            * np.linalg.norm(bf16_vecs, axis=1) + 1e-12)
-        result["bf16_device_resident_imgs_per_sec"] = round(bf16_rate, 1)
-        if bf16_tflops:
-            result["bf16_device_tflops"] = round(bf16_tflops, 1)
-            result["bf16_mfu_vs_bf16_peak"] = round(
-                bf16_tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 3)
-        result["bf16_cosine_vs_f32"] = round(float(cos.min()), 5)
+        f32_rate, f32_tflops, f32_vecs = _measure_resident(
+            model, resident_args, compute_dtype=None)
+        result["f32_device_resident_imgs_per_sec"] = round(f32_rate, 1)
+        if f32_tflops:
+            result["f32_device_tflops"] = round(f32_tflops, 1)
+        if compute_dtype is not None:
+            cos = (f32_vecs * headline_vecs).sum(axis=1) / (
+                np.linalg.norm(f32_vecs, axis=1)
+                * np.linalg.norm(headline_vecs, axis=1) + 1e-12)
+            result["bf16_cosine_vs_f32"] = round(float(cos.min()), 5)
 
         os.environ["MDIR_TPU_PALLAS"] = "1"
         try:
@@ -390,10 +454,28 @@ def main():
                 result["clahe_chain_e2e_error"] = str(exc)[:200]
 
         try:
-            result["train_tuples_per_sec"] = round(_measure_train_step(model),
-                                                   2)
+            rate, train_tflops, train_dtype = _measure_train_step(model)
+            result["train_tuples_per_sec"] = round(rate, 2)
+            result["train_dtype"] = train_dtype
+            if train_tflops:
+                result["train_tflops"] = round(train_tflops, 1)
+                result["train_mfu_vs_bf16_peak"] = round(
+                    train_tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 3)
+            if train_dtype != "float32":
+                f32_rate, _, _ = _measure_train_step(
+                    model, compute_dtype="float32")
+                result["train_f32_tuples_per_sec"] = round(f32_rate, 2)
         except Exception as exc:
             result["train_step_error"] = str(exc)[:200]
+
+        # the reference's dominant training cost: per-epoch hard-negative
+        # mining re-embeds ~24k images at image_size 362 (SURVEY §3.4)
+        try:
+            result["mining_imgs_per_sec"] = round(_measure_mining(
+                model, mean_std, compute_dtype, dtype_guard,
+                max_batch=max_batch), 1)
+        except Exception as exc:
+            result["mining_error"] = str(exc)[:200]
 
     print(json.dumps(result))
     return 0

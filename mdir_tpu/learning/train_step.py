@@ -33,13 +33,25 @@ def _merge_params(variables, params):
     return {**variables, "params": params}
 
 
-def _apply_model(model, params, batch, valid_hw, train, rng):
-    """Pure apply of one Model with substituted params; returns (out, new_bs)."""
+def _apply_model(model, params, batch, valid_hw, train, rng,
+                 compute_dtype=None):
+    """Pure apply of one Model with substituted params; returns (out, new_bs).
+
+    ``compute_dtype`` runs the apply in the MXU's fast dtype with f32 master
+    params: the cast happens inside the differentiated function, so grads
+    flow back to (and optimizer state stays in) float32. Only used for
+    descriptor models (frozen BN, no train-mode mutations).
+    """
     mutable = ["batch_stats"] if (train and "batch_stats" in model.variables) \
         else False
 
     def run(params, batch, valid_hw, rng):
         variables = _merge_params(model.variables, params)
+        if compute_dtype is not None:
+            cast = lambda a: a.astype(compute_dtype) \
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
+            variables = jax.tree.map(cast, variables)
+            batch = batch.astype(compute_dtype)
         rngs = {"dropout": rng} if rng is not None else None
         if _accepts_train(model.module):
             return model.module.apply(variables, batch, train=train,
@@ -65,7 +77,10 @@ class TrainStep:
     """
 
     def __init__(self, network, criterion, batch_average, mesh=None,
-                 device_chain=None):
+                 device_chain=None, compute_dtype="auto"):
+        from ..models import _accepts_train
+        from ..ops.dtypes import guard_decision, resolve_compute_dtype
+
         self.network = network
         self.criterion = criterion
         self.batch_average = batch_average
@@ -73,8 +88,33 @@ class TrainStep:
         self.mesh = mesh
         self.device_chain = device_chain
         self._grad_fn = None
+        self._f32_grad_fn = None
 
-    def _build(self):
+        # fast compute dtype (f32 master params): descriptor models only —
+        # train-mode models (dropout / live BN stats) stay f32 so mutated
+        # collections keep full precision
+        runtime = getattr(network, "network_params", None)
+        runtime = dict(runtime.runtime) if runtime is not None else {}
+        if compute_dtype != "auto":
+            runtime["compute_dtype"] = compute_dtype
+        dtype, guard = resolve_compute_dtype(runtime)
+        model = getattr(network, "model", None)
+        from .network import SequentialNetwork
+
+        if dtype is not None and (model is None
+                                  or isinstance(network, SequentialNetwork)
+                                  or _accepts_train(model.module)):
+            dtype, guard = None, False
+        self._guard_pending = False
+        if dtype is not None and guard:
+            decision = guard_decision(model.module, kind="train")
+            if decision is False:
+                dtype = None
+            elif decision is None:
+                self._guard_pending = True
+        self.compute_dtype = dtype
+
+    def _build(self, compute_dtype=None):
         from .network import SequentialNetwork
 
         network = self.network
@@ -135,7 +175,8 @@ class TrainStep:
             def forward(params, batch, valid_hw, targets, rng, clahe_aux):
                 batch = preprocess(batch, valid_hw, clahe_aux)
                 out, new_bs = _apply_model(model, params, batch, valid_hw,
-                                           True, rng)
+                                           True, rng, compute_dtype)
+                out = out.astype(jnp.float32)  # loss/logging stay f32
                 if getattr(model, "is_descriptor_model", False):
                     out = out.T  # criterion expects D x N columns
                 loss = criterion(out, targets)
@@ -148,12 +189,43 @@ class TrainStep:
             return jax.value_and_grad(forward, has_aux=True)(
                 params, batch, valid_hw, targets, rng, clahe_aux)
 
-        self._grad_fn = value_and_grad
+        return value_and_grad
+
+    def _run_dtype_guard(self, fast_result, call_args):
+        """First-step f32 cross-check of the fast training dtype: the bf16
+        gradients must stay directionally identical (flattened cosine) and
+        the loss within a relative tolerance, else this process's training
+        for the module falls back to f32 (decision cached like the
+        extraction guard's)."""
+        from ..ops import dtypes as dtype_policy
+
+        self._guard_pending = False
+        if self._f32_grad_fn is None:
+            self._f32_grad_fn = self._build(None)
+        exact = self._f32_grad_fn(*call_args)
+        (loss_f, _), grads_f = fast_result
+        (loss_e, _), grads_e = exact
+        flat_f = np.concatenate([np.asarray(g, np.float32).ravel()
+                                 for g in jax.tree_util.tree_leaves(grads_f)])
+        flat_e = np.concatenate([np.asarray(g, np.float32).ravel()
+                                 for g in jax.tree_util.tree_leaves(grads_e)])
+        loss_ok = abs(float(loss_f) - float(loss_e)) \
+            <= 0.05 * max(abs(float(loss_e)), 1e-6)
+        ok = loss_ok and np.isfinite(flat_f).all() \
+            and dtype_policy.cosine_rows_ok(flat_f[None], flat_e[None],
+                                            min_cosine=0.99)
+        dtype_policy.record_guard_decision(self.network.model.module, ok,
+                                           kind="train")
+        if ok:
+            return fast_result
+        self.compute_dtype = None
+        self._grad_fn = self._f32_grad_fn
+        return exact
 
     def gradients(self, params, batch, valid_hw, targets, rng=None,
                   clahe_aux=None):
         if self._grad_fn is None:
-            self._build()
+            self._grad_fn = self._build(self.compute_dtype)
         if isinstance(clahe_aux, dict):
             from ..ops.clahe import pack_clahe_aux
 
@@ -174,7 +246,11 @@ class TrainStep:
             if clahe_aux is not None:
                 clahe_aux = tuple(jax.device_put(np.asarray(a), shard)
                                   for a in clahe_aux)
-        return self._grad_fn(params, batch, valid_hw, targets, rng, clahe_aux)
+        call_args = (params, batch, valid_hw, targets, rng, clahe_aux)
+        result = self._grad_fn(*call_args)
+        if self._guard_pending:
+            result = self._run_dtype_guard(result, call_args)
+        return result
 
 
 def pad_image_batch(images, multiple=32):

@@ -254,12 +254,25 @@ class StreamingExtractor:
     def __init__(self, model, scales=(1,), msp=1.0, whiten=None,
                  normalize_mean_std=None, compute_dtype=None,
                  bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
-                 mesh=None, device_chain=None):
+                 mesh=None, device_chain=None, dtype_guard=False):
+        from ..ops import dtypes as dtype_policy
+
         self.model = model
         self.scales = list(scales)
         self.msp = msp
         self.bucket_multiple = bucket_multiple
         self.mesh = mesh
+
+        # runtime dtype guard: the first chunk runs in BOTH dtypes and bf16
+        # must stay within a cosine tolerance of f32, else this (and every
+        # later) run for the module falls back to f32
+        self._guard_pending = False
+        if compute_dtype is not None and dtype_guard:
+            decision = dtype_policy.guard_decision(model.module)
+            if decision is False:
+                compute_dtype = None
+            elif decision is None:
+                self._guard_pending = True
 
         has_whiten = whiten is not None
         if has_whiten:
@@ -285,10 +298,13 @@ class StreamingExtractor:
         self.region_pooling = \
             getattr(model.module, "pooling", None) == "rmac" \
             or getattr(model.module, "regional", False)
+        self._has_whiten = has_whiten
+        self._compute_dtype = compute_dtype
         self.fused = _get_fused(model.module, self.scales, has_whiten,
                                 self.device_normalize, compute_dtype,
                                 chain=device_chain)
 
+        self._f32_variables = model.variables
         variables = model.variables
         if compute_dtype is not None:
             # cast params once here (not per launch inside the program)
@@ -407,7 +423,46 @@ class StreamingExtractor:
         vecs = self.fused(self.variables, dev_batch, dev_valid, dev_grids,
                           dev_aux, dev_boxes, jnp.float32(self.msp), self.P,
                           self.m, self.mean, self.std)
+        if self._guard_pending:
+            vecs = self._run_dtype_guard(
+                vecs, (dev_batch, dev_valid, dev_grids, dev_aux, dev_boxes))
         self.results.append((indices, vecs))  # async
+
+    def _run_dtype_guard(self, fast_vecs, dev_args):
+        """First-chunk f32 cross-check of the fast compute dtype.
+
+        Runs the same chunk through the f32 program; if the fast
+        descriptors drift beyond the cosine tolerance, this extractor (and
+        every later one for the module, via the per-process decision
+        cache) falls back to f32 — returning the f32 chunk so no fast-path
+        output ever ships unvalidated.
+        """
+        from ..ops import dtypes as dtype_policy
+
+        self._guard_pending = False
+        f32_fused = _get_fused(self.model.module, self.scales,
+                               self._has_whiten, self.device_normalize,
+                               None, chain=self.device_chain)
+        f32_variables = self._f32_variables
+        if self.mesh is not None:
+            from .mesh import replicated
+
+            f32_variables = jax.device_put(f32_variables,
+                                           replicated(self.mesh))
+        dev_batch, dev_valid, dev_grids, dev_aux, dev_boxes = dev_args
+        exact = f32_fused(f32_variables, dev_batch, dev_valid, dev_grids,
+                          dev_aux, dev_boxes, jnp.float32(self.msp), self.P,
+                          self.m, self.mean, self.std)
+        ok = dtype_policy.cosine_rows_ok(np.asarray(fast_vecs),
+                                         np.asarray(exact))
+        dtype_policy.record_guard_decision(self.model.module, ok)
+        if ok:
+            return fast_vecs
+        # fall back for the rest of this run
+        self._compute_dtype = None
+        self.fused = f32_fused
+        self.variables = f32_variables
+        return exact
 
     def _dispatch(self, payload):
         if self._uplink is None:
@@ -464,7 +519,7 @@ class StreamingExtractor:
 def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
                             bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
                             max_side=None, normalize_mean_std=None,
-                            compute_dtype=None, mesh=None):
+                            compute_dtype=None, mesh=None, dtype_guard=False):
     """Multi-scale descriptors for a list of HWC arrays. Returns (D, N).
 
     Equivalent to the reference per-image loop: per scale s, each image is
@@ -477,7 +532,8 @@ def extract_vectors_batched(model, arrays, scales=(1,), msp=1.0, whiten=None,
     extractor = StreamingExtractor(
         model, scales=scales, msp=msp, whiten=whiten,
         normalize_mean_std=normalize_mean_std, compute_dtype=compute_dtype,
-        bucket_multiple=bucket_multiple, max_batch=max_batch, mesh=mesh)
+        bucket_multiple=bucket_multiple, max_batch=max_batch, mesh=mesh,
+        dtype_guard=dtype_guard)
     for i, arr in enumerate(arrays):
         extractor.add(i, arr)
     return extractor.finish(len(arrays))
@@ -558,7 +614,14 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
         if len(scales) > 1 and model.meta["pooling"] == "gem" \
                 and not model.meta["regional"] and not model.meta["whitening"]:
             msp = float(model.pool_p)
-        compute_dtype = os.environ.get("MDIR_TPU_COMPUTE_DTYPE") or None
+        # bf16 trunk compute is the accelerator default, validated by a
+        # first-chunk f32 cross-check; yaml reaches it via the network
+        # runtime section (runtime: compute_dtype: ...)
+        from ..ops.dtypes import resolve_compute_dtype
+
+        runtime_params = getattr(network, "network_params", None)
+        compute_dtype, dtype_guard = resolve_compute_dtype(
+            runtime_params.runtime if runtime_params is not None else {})
 
         mean_std = _plain_normalize_chain(transform)
         chain = None
@@ -572,7 +635,7 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, normalize_mean_std=mean_std,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, dtype_guard=dtype_guard)
         elif chain is not None:
             # photometric chain (CLAHE etc.) fused on device, uint8 ingress
             loader = _stream_images_uint8(images, image_size, bbxs,
@@ -580,12 +643,12 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, compute_dtype=compute_dtype,
-                device_chain=chain)
+                device_chain=chain, dtype_guard=dtype_guard)
         else:
             loader = _stream_images(images, image_size, transform, bbxs)
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
-                max_batch=batch_size, compute_dtype=compute_dtype)
+                max_batch=batch_size, compute_dtype=compute_dtype, dtype_guard=dtype_guard)
         # stream: host decode threads run ahead of the async device chunks
         for i, arr in enumerate(loader):
             extractor.add(i, arr)

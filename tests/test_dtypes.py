@@ -1,0 +1,173 @@
+"""Compute-dtype policy + runtime guards (ops/dtypes.py).
+
+bf16 is the accelerator default for extraction and descriptor training, but
+only behind a first-chunk f32 cross-check. Tests run on CPU: the policy
+resolves auto->f32 there (keeping every parity pin exact), so these tests
+force bf16 / fake an accelerator to exercise the fast path and both guard
+verdicts.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from mdir_tpu.ops import dtypes as dtype_policy
+
+
+@pytest.fixture(autouse=True)
+def _fresh_decisions():
+    dtype_policy._GUARD_DECISIONS.clear()
+    yield
+    dtype_policy._GUARD_DECISIONS.clear()
+
+
+def test_policy_resolution(monkeypatch):
+    monkeypatch.delenv("MDIR_TPU_COMPUTE_DTYPE", raising=False)
+    # CPU backend: auto stays exact
+    monkeypatch.setattr(dtype_policy, "on_accelerator", lambda: False)
+    assert dtype_policy.resolve_compute_dtype({}) == (None, False)
+    # accelerator: auto = bf16 + guard
+    monkeypatch.setattr(dtype_policy, "on_accelerator", lambda: True)
+    assert dtype_policy.resolve_compute_dtype({}) == ("bfloat16", True)
+    # explicit runtime selection: forced, no guard
+    assert dtype_policy.resolve_compute_dtype(
+        {"compute_dtype": "float32"}) == (None, False)
+    assert dtype_policy.resolve_compute_dtype(
+        {"compute_dtype": "bfloat16"}) == ("bfloat16", False)
+    # env var overrides everything
+    monkeypatch.setenv("MDIR_TPU_COMPUTE_DTYPE", "bfloat16")
+    assert dtype_policy.resolve_compute_dtype(
+        {"compute_dtype": "float32"}) == ("bfloat16", False)
+    monkeypatch.setenv("MDIR_TPU_COMPUTE_DTYPE", "float32")
+    assert dtype_policy.resolve_compute_dtype({}) == (None, False)
+
+
+def _model():
+    from mdir_tpu.models import initialize_model
+
+    return initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": False,
+        "whitening": False, "pretrained": False})
+
+
+def _extract(model, arrays, **kwargs):
+    from mdir_tpu.parallel.extract import StreamingExtractor
+
+    ext = StreamingExtractor(model, scales=[1], msp=1.0, max_batch=2,
+                             normalize_mean_std=([0.485, 0.456, 0.406],
+                                                 [0.229, 0.224, 0.225]),
+                             **kwargs)
+    for i, arr in enumerate(arrays):
+        ext.add(i, arr)
+    return ext.finish(len(arrays))
+
+
+def test_extraction_guard_accepts_and_caches(rng):
+    model = _model()
+    arrays = [(rng.rand(96, 96, 3) * 255).astype(np.uint8) for _ in range(4)]
+    f32 = _extract(model, arrays)
+    fast = _extract(model, arrays, compute_dtype="bfloat16", dtype_guard=True)
+    # accepted: bf16 descriptors within cosine tolerance, decision cached
+    assert dtype_policy.guard_decision(model.module) is True
+    cos = (f32 * fast).sum(0) / (np.linalg.norm(f32, axis=0)
+                                 * np.linalg.norm(fast, axis=0))
+    assert cos.min() >= dtype_policy.guard_min_cosine()
+
+
+def test_extraction_guard_fallback_ships_f32(rng, monkeypatch):
+    model = _model()
+    arrays = [(rng.rand(96, 96, 3) * 255).astype(np.uint8) for _ in range(4)]
+    f32 = _extract(model, arrays)
+    monkeypatch.setattr(dtype_policy, "cosine_rows_ok",
+                        lambda *a, **k: False)
+    fast = _extract(model, arrays, compute_dtype="bfloat16", dtype_guard=True)
+    # rejected: every chunk (including the first) ships the f32 result
+    assert dtype_policy.guard_decision(model.module) is False
+    np.testing.assert_array_equal(f32, fast)
+    # later extractors see the cached verdict and never leave f32
+    monkeypatch.undo()
+    again = _extract(model, arrays, compute_dtype="bfloat16",
+                     dtype_guard=True)
+    np.testing.assert_array_equal(f32, again)
+
+
+def _train_fixture(rng):
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.learning.train_step import TrainStep, prepare_batch
+    from mdir_tpu.optim.criteria import initialize_criterion
+
+    model = _model()
+    network = CirNetwork(model, CirNetwork.NetworkParams(
+        model={}, runtime={"wrappers": ""}))
+    criterion = initialize_criterion(
+        {"loss": "contrastive", "margin": 0.7, "eps": 1e-6})
+    images = [[rng.rand(64, 64, 3).astype(np.float32) for _ in range(3)]
+              for _ in range(2)]
+    targets = [np.array([-1.0, 1.0, 0.0], np.float32)] * 2
+    batch, valid, tgt, _ = prepare_batch(images, targets)
+    return network, criterion, (network.model.params, batch, valid, tgt,
+                                jax.random.PRNGKey(0))
+
+
+def test_train_step_bf16_matches_f32_semantics(rng):
+    """Mixed-precision step parity: bf16 compute with f32 master params
+    keeps the loss close and the gradient direction essentially identical
+    (the guard's acceptance criterion, pinned here on CPU)."""
+    from mdir_tpu.learning.train_step import TrainStep
+
+    network, criterion, args = _train_fixture(rng)
+    exact = TrainStep(network, criterion, batch_average=True,
+                      compute_dtype="float32")
+    fast = TrainStep(network, criterion, batch_average=True,
+                     compute_dtype="bfloat16")
+    assert fast.compute_dtype == "bfloat16"
+    (loss_e, _), grads_e = exact.gradients(*args)
+    (loss_f, _), grads_f = fast.gradients(*args)
+    assert abs(float(loss_f) - float(loss_e)) <= 0.05 * abs(float(loss_e))
+    flat_e = np.concatenate([np.asarray(g).ravel()
+                             for g in jax.tree_util.tree_leaves(grads_e)])
+    flat_f = np.concatenate([np.asarray(g, np.float32).ravel()
+                             for g in jax.tree_util.tree_leaves(grads_f)])
+    assert flat_f.dtype == np.float32  # master-precision gradients
+    cos = (flat_e * flat_f).sum() / (np.linalg.norm(flat_e)
+                                     * np.linalg.norm(flat_f) + 1e-12)
+    assert cos >= 0.99
+
+
+def test_train_guard_fallback(rng, monkeypatch):
+    from mdir_tpu.learning.train_step import TrainStep
+
+    network, criterion, args = _train_fixture(rng)
+    exact = TrainStep(network, criterion, batch_average=True,
+                      compute_dtype="float32")
+    (loss_e, _), grads_e = exact.gradients(*args)
+
+    monkeypatch.setattr(dtype_policy, "on_accelerator", lambda: True)
+    monkeypatch.setattr(dtype_policy, "cosine_rows_ok", lambda *a, **k: False)
+    guarded = TrainStep(network, criterion, batch_average=True)
+    assert guarded._guard_pending
+    (loss_g, _), grads_g = guarded.gradients(*args)
+    # rejected: the f32 result is what comes back, verdict cached
+    assert dtype_policy.guard_decision(network.model.module,
+                                       kind="train") is False
+    np.testing.assert_allclose(float(loss_g), float(loss_e), rtol=1e-6)
+    monkeypatch.undo()
+
+    # a fresh step for the same module starts straight in f32
+    monkeypatch.setattr(dtype_policy, "on_accelerator", lambda: True)
+    later = TrainStep(network, criterion, batch_average=True)
+    assert later.compute_dtype is None and not later._guard_pending
+
+
+def test_train_guard_accepts(rng, monkeypatch):
+    from mdir_tpu.learning.train_step import TrainStep
+
+    network, criterion, args = _train_fixture(rng)
+    monkeypatch.setattr(dtype_policy, "on_accelerator", lambda: True)
+    guarded = TrainStep(network, criterion, batch_average=True)
+    assert guarded.compute_dtype == "bfloat16" and guarded._guard_pending
+    (loss, _), grads = guarded.gradients(*args)
+    assert dtype_policy.guard_decision(network.model.module,
+                                       kind="train") is True
+    assert np.isfinite(float(loss))
