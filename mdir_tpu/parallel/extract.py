@@ -156,7 +156,6 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
         chain_fn = make_bucketed_chain(chain)
         if chain.clahe_params is not None:
             chain_grid = chain.clahe_params[1]
-
     if _os.environ.get("MDIR_TPU_PALLAS", "0") == "1" \
             and getattr(module, "pooling", None) == "gem" \
             and hasattr(module, "pallas_pool"):
@@ -222,21 +221,98 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
             return X.T
         return v
 
-    return jax.jit(fn)
+    return fn
+
+
+def _pack_host_aux(valid, grids, clahe_aux):
+    """All per-chunk aux arrays as ONE flat int32 buffer.
+
+    The tunnel charges a ~30 ms fixed latency per transfer; a chunk used to
+    ship up to 9 aux arrays (valid + 3 per scale + 2 CLAHE) costing ~0.3 s
+    of pure round trips. Everything is a 4-byte dtype, so one concatenated
+    int32 view (f32 payloads bitcast back in-graph, bit-exact) collapses
+    them into a single put. Layout mirrors ``_unpack_device_aux``.
+    """
+    parts = [np.ascontiguousarray(valid).view(np.int32).ravel()]
+    for g in grids:
+        if g is None:
+            continue
+        ypack, xpack, out_valid = g
+        parts += [ypack.view(np.int32).ravel(), xpack.view(np.int32).ravel(),
+                  np.ascontiguousarray(out_valid).view(np.int32).ravel()]
+    if clahe_aux is not None:
+        ints, scalars = clahe_aux
+        parts += [np.ascontiguousarray(ints).view(np.int32).ravel(),
+                  np.ascontiguousarray(scalars).view(np.int32).ravel()]
+    return np.concatenate(parts)
+
+
+def _unpack_device_aux(blob, batch_shape, scales, bucket_multiple,
+                       chain_grid):
+    """In-graph inverse of ``_pack_host_aux``: every slice size derives from
+    the (static) batch shape + the scale/grid constants, so the whole unpack
+    lowers to free reshapes/bitcasts."""
+    bsz, bh, bw = batch_shape[0], batch_shape[1], batch_shape[2]
+    state = {"off": 0}
+
+    def take(n):
+        part = jax.lax.slice(blob, (state["off"],), (state["off"] + n,))
+        state["off"] += n
+        return part
+
+    def take_f32(n):
+        return jax.lax.bitcast_convert_type(take(n), jnp.float32)
+
+    valid = take(bsz * 2).reshape(bsz, 2)
+    grids = []
+    for scale in scales:
+        if scale == 1:
+            grids.append(None)
+            continue
+        oh_b = _round_up(max(int(math.floor(bh * scale)), 1), bucket_multiple)
+        ow_b = _round_up(max(int(math.floor(bw * scale)), 1), bucket_multiple)
+        ypack = take_f32(bsz * oh_b * 3).reshape(bsz, oh_b, 3)
+        xpack = take_f32(bsz * ow_b * 3).reshape(bsz, ow_b, 3)
+        out_valid = take(bsz * 2).reshape(bsz, 2)
+        grids.append((ypack, xpack, out_valid))
+    clahe_aux = None
+    if chain_grid is not None:
+        gh, gw = chain_grid
+        rows = (bh + gh) + (bw + gw)
+        ints = take(bsz * rows * 2).reshape(bsz, rows, 2)
+        scalars = take_f32(bsz * 4).reshape(bsz, 4)
+        clahe_aux = (ints, scalars)
+    return valid, tuple(grids), clahe_aux
 
 
 _FUSED_CACHE = {}
 
 
 def _get_fused(module, scales, has_whiten, device_normalize=False,
-               compute_dtype=None, chain=None):
+               compute_dtype=None, chain=None, packed=False,
+               bucket_multiple=BUCKET_MULTIPLE):
     key = (id(module), tuple(scales), has_whiten, device_normalize,
            str(compute_dtype), chain.key if chain is not None else None,
-           _os.environ.get("MDIR_TPU_PALLAS", "0"))
+           _os.environ.get("MDIR_TPU_PALLAS", "0"), packed, bucket_multiple)
     if key not in _FUSED_CACHE:
-        _FUSED_CACHE[key] = _fused_extract_fn(
+        fn = _fused_extract_fn(
             module, tuple(scales), has_whiten, device_normalize, compute_dtype,
             chain=chain)
+        if packed:
+            chain_grid = chain.clahe_params[1] if chain is not None \
+                and chain.clahe_params is not None else None
+            scales_t = tuple(scales)
+
+            def packed_fn(variables, batch, blob, boxes, msp, P, m, mean,
+                          std):
+                valid, grids, aux = _unpack_device_aux(
+                    blob, batch.shape, scales_t, bucket_multiple, chain_grid)
+                return fn(variables, batch, valid, grids, aux, boxes, msp,
+                          P, m, mean, std)
+
+            _FUSED_CACHE[key] = jax.jit(packed_fn)
+        else:
+            _FUSED_CACHE[key] = jax.jit(fn)
     return _FUSED_CACHE[key]
 
 
@@ -300,9 +376,14 @@ class StreamingExtractor:
             or getattr(model.module, "regional", False)
         self._has_whiten = has_whiten
         self._compute_dtype = compute_dtype
+        # single-device runs collapse all per-chunk aux into one transfer
+        # (the tunnel charges a fixed latency per put); the mesh path keeps
+        # per-array puts so each can carry its batch sharding
+        self._packed = mesh is None
         self.fused = _get_fused(model.module, self.scales, has_whiten,
                                 self.device_normalize, compute_dtype,
-                                chain=device_chain)
+                                chain=device_chain, packed=self._packed,
+                                bucket_multiple=bucket_multiple)
 
         self._f32_variables = model.variables
         variables = model.variables
@@ -408,24 +489,27 @@ class StreamingExtractor:
     def _transfer_and_launch(self, indices, batch, valid, grids, clahe_aux,
                              boxes):
         """Host->device transfers + one async program launch for a chunk."""
-        if self.mesh is not None:
-            put = lambda a: jax.device_put(a, self.shard)
+        if self._packed:
+            dev_batch = jnp.asarray(batch)
+            blob = jnp.asarray(_pack_host_aux(valid, grids, clahe_aux))
+            dev_boxes = None if boxes is None \
+                else tuple(jnp.asarray(b) for b in boxes)
+            call = (dev_batch, blob, dev_boxes)
         else:
-            put = jnp.asarray
-        dev_batch = put(batch)
-        dev_valid = put(valid)
-        dev_grids = tuple(None if g is None else tuple(put(a) for a in g)
-                          for g in grids)
-        dev_aux = None if clahe_aux is None \
-            else tuple(put(a) for a in clahe_aux)
-        dev_boxes = None if boxes is None else tuple(put(b) for b in boxes)
+            put = lambda a: jax.device_put(a, self.shard)
+            dev_batch = put(batch)
+            dev_valid = put(valid)
+            dev_grids = tuple(None if g is None else tuple(put(a) for a in g)
+                              for g in grids)
+            dev_aux = None if clahe_aux is None \
+                else tuple(put(a) for a in clahe_aux)
+            dev_boxes = None if boxes is None else tuple(put(b) for b in boxes)
+            call = (dev_batch, dev_valid, dev_grids, dev_aux, dev_boxes)
 
-        vecs = self.fused(self.variables, dev_batch, dev_valid, dev_grids,
-                          dev_aux, dev_boxes, jnp.float32(self.msp), self.P,
-                          self.m, self.mean, self.std)
+        vecs = self.fused(self.variables, *call, jnp.float32(self.msp),
+                          self.P, self.m, self.mean, self.std)
         if self._guard_pending:
-            vecs = self._run_dtype_guard(
-                vecs, (dev_batch, dev_valid, dev_grids, dev_aux, dev_boxes))
+            vecs = self._run_dtype_guard(vecs, call)
         self.results.append((indices, vecs))  # async
 
     def _run_dtype_guard(self, fast_vecs, dev_args):
@@ -442,17 +526,17 @@ class StreamingExtractor:
         self._guard_pending = False
         f32_fused = _get_fused(self.model.module, self.scales,
                                self._has_whiten, self.device_normalize,
-                               None, chain=self.device_chain)
+                               None, chain=self.device_chain,
+                               packed=self._packed,
+                               bucket_multiple=self.bucket_multiple)
         f32_variables = self._f32_variables
         if self.mesh is not None:
             from .mesh import replicated
 
             f32_variables = jax.device_put(f32_variables,
                                            replicated(self.mesh))
-        dev_batch, dev_valid, dev_grids, dev_aux, dev_boxes = dev_args
-        exact = f32_fused(f32_variables, dev_batch, dev_valid, dev_grids,
-                          dev_aux, dev_boxes, jnp.float32(self.msp), self.P,
-                          self.m, self.mean, self.std)
+        exact = f32_fused(f32_variables, *dev_args, jnp.float32(self.msp),
+                          self.P, self.m, self.mean, self.std)
         ok = dtype_policy.cosine_rows_ok(np.asarray(fast_vecs),
                                          np.asarray(exact))
         dtype_policy.record_guard_decision(self.model.module, ok)
