@@ -18,7 +18,7 @@ def sync(x):
     return np.asarray(x).ravel()[:1]
 
 
-def timed(fn, reps=3):
+def timed(fn, reps=2):
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
@@ -31,18 +31,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    print("backend:", jax.default_backend())
+    print("backend:", jax.default_backend(), flush=True)
 
     # raw bandwidth, large payload
-    big = np.random.randint(0, 255, (16, 768, 1024, 3), np.uint8)
+    big = np.random.randint(0, 255, (8, 768, 1024, 3), np.uint8)
 
     def put_big():
         d = jax.device_put(big)
         sync(d)
 
     t_big = timed(put_big)
+    import sys; sys.stdout.flush()
     print("batch %.1f MB: %.3f s -> %.1f MB/s"
-          % (big.nbytes / 1e6, t_big, big.nbytes / t_big / 1e6))
+          % (big.nbytes / 1e6, t_big, big.nbytes / t_big / 1e6), flush=True)
 
     # per-call fixed latency: small arrays of decreasing size
     for shape, dtype in (((16, 768, 3), np.float32), ((16, 1024, 3), np.float32),
@@ -54,16 +55,16 @@ def main():
             sync(jax.device_put(arr))
 
         t = timed(put_small, reps=5)
-        print("put %-18s %8d B: %.4f s" % (shape, arr.nbytes, t))
+        print("put %-18s %8d B: %.4f s" % (shape, arr.nbytes, t), flush=True)
 
     # a chain chunk's transfer set as issued today: batch + valid +
     # 2 scales x (ypack, xpack, out_valid) + clahe (ints, scalars) = 10 puts
-    valid = np.zeros((16, 2), np.int32)
-    ypack = np.zeros((16, 544, 3), np.float32)
-    xpack = np.zeros((16, 726, 3), np.float32)
-    ov = np.zeros((16, 2), np.int32)
-    ints = np.zeros((16, 768 + 8 + 1024 + 8, 2), np.int32)
-    scalars = np.zeros((16, 4), np.float32)
+    valid = np.zeros((8, 2), np.int32)
+    ypack = np.zeros((8, 544, 3), np.float32)
+    xpack = np.zeros((8, 726, 3), np.float32)
+    ov = np.zeros((8, 2), np.int32)
+    ints = np.zeros((8, 768 + 8 + 1024 + 8, 2), np.int32)
+    scalars = np.zeros((8, 4), np.float32)
     pieces = [valid, ypack, xpack, ov, ypack.copy(), xpack.copy(), ov.copy(),
               ints, scalars]
 
