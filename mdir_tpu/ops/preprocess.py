@@ -109,6 +109,58 @@ def make_device_preprocess(chain, mean_std):
 # valid-extent-aware kernels (ops/clahe.py::clahe_u8_bucketed_jax,
 # bit-exact vs cv2 tile geometry at every image's true size).
 
+def _float_l_u8(batch_u8, space):
+    """Device u8 CLAHE plane for float-colorspace chains (luv): the host's
+    ``(chan0 * 255).astype(uint8)`` reproduced with floor+clip (identical
+    for the non-negative values both sides produce). Luv L rides the
+    analytic-Y contraction — the curve cv2's float Luv actually uses
+    (``cs.rgb_u8_to_luv_l``)."""
+    if space == "luv":
+        chan0 = cs.rgb_u8_to_luv_l(batch_u8[..., :3]) / 100.0
+    else:
+        chan0 = cs.rgb_u8_to_normspace(batch_u8[..., :3], space)[..., 0]
+    return jnp.clip(jnp.floor(chan0 * 255.0), 0, 255).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=4)
+def float_l_spot_check(space, samples=4096, seed=0):
+    """Runtime guard for device CLAHE planes that have no exact integer
+    pipeline (cv2's Luv conversion is genuine float math in this build —
+    probed non-lattice, so no trilinear-lattice replica exists).
+
+    Runs the ACTUAL device computation (``_float_l_u8``) on a sampled u8
+    sweep vs the live cv2 host plane and accepts only when every deviation
+    is an off-by-one quantization flip at a rare rate (<=2%): a +-1 CLAHE
+    input bin moves that pixel's CLAHE output by at most the local tile-LUT
+    slope (~1e-2 normalized), far inside the float colorspace round-trip
+    tolerance the chain already carries (reference
+    ``mdir/components/data/transform/functional.py:24-48,109-129``).
+    Measured on this chip: 0 flips of 4096 on the random sweep; the dense
+    sweep in ``tests/test_exact_l.py`` bounds the rate at <0.2%.
+    """
+    try:
+        from ..data.transforms import rgb2normspace_np
+    except ImportError:  # pragma: no cover
+        return False
+    rng = np.random.RandomState(seed)
+    u8 = rng.randint(0, 256, (samples, 3))
+    u8[:256] = np.stack([np.arange(256)] * 3, -1)  # gray ramp
+    u8[256:288, 1:] = 0                            # single-channel edges
+    u8 = u8.astype(np.uint8)
+    try:
+        host = (rgb2normspace_np(u8[None].astype(np.float32) / 255.0,
+                                 space)[0, :, 0] * 255).astype(np.uint8)
+    except Exception:  # pragma: no cover - cv2 missing/unsupported space
+        return False
+    try:
+        dev = np.asarray(jax.jit(functools.partial(_float_l_u8, space=space))(
+            jnp.asarray(u8.reshape(1, 16, -1, 3)))).reshape(-1)
+    except Exception:  # pragma: no cover - no usable backend
+        return False
+    diff = np.abs(dev - host.astype(np.int32))
+    return bool(diff.max() <= 1 and (diff != 0).mean() <= 0.02)
+
+
 class DeviceChain:
     """A host transform chain lowered to a device program over u8 buckets.
 
@@ -160,8 +212,13 @@ class DeviceChain:
             if not conservative:
                 from .lab_trilinear import device_corner_check, spot_check
 
-                self.device_l = space in ("lab", "lsh") and spot_check(space) \
-                    and (space != "lab" or device_corner_check())
+                if space in ("lab", "lsh"):
+                    self.device_l = spot_check(space) \
+                        and (space != "lab" or device_corner_check())
+                elif space == "luv":
+                    # no exact lattice exists (genuine float cv2 path);
+                    # the float plane ships only past its runtime guard
+                    self.device_l = float_l_spot_check(space)
         else:
             self.clahe_params = None
             self.clahe_space = None
@@ -250,10 +307,13 @@ def make_bucketed_chain(chain):
         # recomputed on device (lab_trilinear, exhaustively cv2-exact) or
         # shipped as the 4th uint8 channel (see DeviceChain docstring)
         if device_l:
-            from .lab_trilinear import lab_l_u8_jax, lsh_l_u8_jax
+            if clahe_space == "luv":
+                l_u8 = _float_l_u8(batch_u8, clahe_space)
+            else:
+                from .lab_trilinear import lab_l_u8, lsh_l_u8_jax
 
-            fn = lab_l_u8_jax if clahe_space == "lab" else lsh_l_u8_jax
-            l_u8 = fn(batch_u8[..., :3])
+                fn = lab_l_u8 if clahe_space == "lab" else lsh_l_u8_jax
+                l_u8 = fn(batch_u8[..., :3])
         else:
             l_u8 = batch_u8[..., 3].astype(jnp.int32)
         return clahe_ops.clahe_u8_bucketed_jax(l_u8, aux, grid) / 255.0
@@ -268,9 +328,9 @@ def make_bucketed_chain(chain):
                     # one trilinear contraction yields the CLAHE plane AND
                     # the a/b channels, all bit-exact with the host cv2
                     # conversion (the extra matmul columns are free)
-                    from .lab_trilinear import lab_chan_jax
+                    from .lab_trilinear import lab_chan
 
-                    l_u8, ab = lab_chan_jax(batch_u8[..., :3])
+                    l_u8, ab = lab_chan(batch_u8[..., :3])
                     chan = clahe_ops.clahe_u8_bucketed_jax(
                         l_u8, clahe_aux, (grid, grid)) / 255.0
                     spc = jnp.concatenate([chan[..., None], ab], axis=-1)
@@ -289,9 +349,9 @@ def make_bucketed_chain(chain):
                 x = jnp.concatenate([x, chan[..., None]], axis=-1)
             elif name == "tospace":
                 if raw and exact_lab and args[0].lower() == "lab":
-                    from .lab_trilinear import lab_normspace_jax
+                    from .lab_trilinear import lab_normspace
 
-                    x = lab_normspace_jax(batch_u8[..., :3])
+                    x = lab_normspace(batch_u8[..., :3])
                 elif raw:
                     x = cs.rgb_u8_to_normspace(batch_u8[..., :3], args[0])
                 else:

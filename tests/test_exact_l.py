@@ -97,6 +97,56 @@ def test_pallas_kernel_bit_exact_interpret():
     np.testing.assert_array_equal(out, lt.lab_l_u8_np(batch))
 
 
+def test_pallas_v2_kernel_bit_exact_interpret():
+    """v2 (MXU-built pair weights) reproduces the exact lattice for all
+    three channels, both row-block modes, structured + random pixels."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    batch = rng.randint(0, 256, (2, 24, 96, 3)).astype(np.uint8)
+    batch[0, :4, 0] = [0, 0, 0]
+    batch[0, :4, 1] = [255, 255, 255]
+    batch[0, :4, 2] = [255, 0, 0]
+    out = np.asarray(lt.lab_n_pallas(jnp.asarray(batch), interpret=True))
+    np.testing.assert_array_equal(out, lt._lab_n_np(batch))
+
+    # odd height exercises the rows_per_block=1 mode
+    odd = batch[:, :15]
+    out = np.asarray(lt.lab_n_pallas(jnp.asarray(odd), interpret=True))
+    np.testing.assert_array_equal(out, lt._lab_n_np(odd))
+
+    # single narrow row exercises the px<256 stretch-matmul branch
+    tiny = batch[:1, :1]
+    out = np.asarray(lt.lab_n_pallas(jnp.asarray(tiny), interpret=True))
+    np.testing.assert_array_equal(out, lt._lab_n_np(tiny))
+
+    l_u8, ab = lt.lab_chan(jnp.asarray(batch), interpret=True)
+    l_ref, ab_ref = lt.lab_chan_np(batch)
+    np.testing.assert_array_equal(np.asarray(l_u8), l_ref)
+    np.testing.assert_array_equal(np.asarray(ab), ab_ref)
+
+    spc = np.asarray(lt.lab_normspace(jnp.asarray(batch), interpret=True))
+    np.testing.assert_array_equal(
+        spc, np.asarray(lt.lab_normspace_jax(jnp.asarray(batch))))
+
+
+def test_lab_dispatchers_use_xla_off_tpu():
+    """On the CPU test backend the dispatchers pick the XLA scan (the
+    Pallas path is TPU-gated), keeping chain tracing portable."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(6)
+    batch = jnp.asarray(rng.randint(0, 256, (1, 16, 32, 3)).astype(np.uint8))
+    l_u8, ab = lt.lab_chan(batch)
+    l_ref, ab_ref = lt.lab_chan_jax(batch)
+    np.testing.assert_array_equal(np.asarray(l_u8), np.asarray(l_ref))
+    np.testing.assert_array_equal(np.asarray(ab), np.asarray(ab_ref))
+    np.testing.assert_array_equal(np.asarray(lt.lab_l_u8(batch)),
+                                  np.asarray(lt.lab_l_u8_jax(batch)))
+    np.testing.assert_array_equal(np.asarray(lt.lab_normspace(batch)),
+                                  np.asarray(lt.lab_normspace_jax(batch)))
+
+
 def test_lsh_plane_exact():
     import jax.numpy as jnp
 
@@ -144,11 +194,47 @@ def test_exhaustive_device_sweep():
 def test_spot_check_gates():
     assert lt.spot_check("lab")
     assert lt.spot_check("lsh")
-    assert not lt.spot_check("luv")  # cv2's Luv path differs: must ship L
+    # cv2's Luv is genuine float math (non-lattice): no exact replica
+    # exists, but the guarded FLOAT plane qualifies (next test)
+    assert not lt.spot_check("luv")
+
+
+def test_luv_float_l_guard_and_bound():
+    """The device float Luv plane (analytic-Y contraction) deviates from
+    the host cv2 plane only by off-by-one quantization flips at a bounded
+    rate: <0.05% on a dense 16x64x64 lattice sweep (measured 0.005%).
+    cv2's float Luv uses the plain analytic sRGB curve — the calibrated
+    lab-path LUT is ~1e-3 off and flipped ~20% of bins (the round-2 reason
+    luv chains shipped the host plane)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdir_tpu.data.transforms import rgb2normspace_np
+    from mdir_tpu.ops.preprocess import _float_l_u8, float_l_spot_check
+
+    assert float_l_spot_check("luv")
+
+    ks = np.arange(0, 256, 4, dtype=np.uint8)
+    g, b = np.meshgrid(ks, ks, indexing="ij")
+    fn = jax.jit(lambda v: _float_l_u8(v, "luv"))
+    flips, mx, tot = 0, 0, 0
+    for r in range(0, 256, 16):
+        batch = np.stack([np.full_like(g, r), g, b], -1).astype(np.uint8)
+        host = (rgb2normspace_np(batch.astype(np.float32) / 255.0,
+                                 "luv")[..., 0] * 255).astype(np.uint8)
+        dev = np.asarray(fn(jnp.asarray(batch[None])))[0]
+        d = np.abs(dev - host.astype(np.int32))
+        flips += int((d != 0).sum())
+        mx = max(mx, int(d.max()))
+        tot += d.size
+    assert mx <= 1, mx
+    assert flips / tot < 5e-4, (flips, tot)
 
 
 @pytest.mark.parametrize("dsl", ["pil2np | apply_clahe | totensor | normalize",
                                  "pil2np | apply_clahe:3:lsh | totensor | "
+                                 "normalize",
+                                 "pil2np | apply_clahe:4:luv | totensor | "
                                  "normalize"])
 def test_device_l_chain_equals_shipped_l_chain(monkeypatch, dsl):
     """The full bucketed device chain agrees whether the CLAHE input plane
@@ -197,6 +283,14 @@ def test_device_l_chain_equals_shipped_l_chain(monkeypatch, dsl):
         if "lsh" in dsl:
             np.testing.assert_array_equal(out_dev[i, :h, :w],
                                           out_shp[i, :h, :w])
+        elif "luv" in dsl:
+            # both modes share the float colorspace; only the CLAHE input
+            # plane differs, by rare off-by-one quantization flips — the
+            # output may differ at those pixels (local tile-LUT slope) and
+            # negligibly elsewhere (histogram shift)
+            diff = np.abs(out_dev[i, :h, :w] - out_shp[i, :h, :w])
+            assert (diff > 1e-6).mean() < 0.05, (diff > 1e-6).mean()
+            assert diff.max() < 0.2, diff.max()
         else:
             # ~1e-3 rgb-space float-colorspace delta, amplified ~4.4x by
             # the normalize std; rare pixels cross a lab->rgb branch
