@@ -30,6 +30,31 @@ SUFFIX_LAST = "_last.ckpt"
 FNAME_TRAINING = "learning_epoch_%02d.ckpt"
 
 
+class _Cadence:
+    """Which persistence actions epoch N triggers.
+
+    Cadence rules (reference semantics, `mdir/learning/checkpoints.py:32-45`):
+    ``store_every`` hits are permanent; ``checkpoint_every`` hits roll — the
+    previous rolling checkpoint (``prev_epoch1``) is garbage-collected unless
+    it was also a store hit. The final epoch always persists.
+    """
+
+    def __init__(self, epoch, store_every, checkpoint_every, is_last):
+        self.epoch1 = epoch + 1
+        self.stored = bool(store_every) and self.epoch1 % store_every == 0
+        aligned = bool(checkpoint_every) \
+            and self.epoch1 % checkpoint_every == 0
+        self.checkpointed = aligned or is_last
+        self.persists = self.checkpointed or self.stored
+        self.prev_epoch1 = None
+        self.prev_is_stored = False
+        if self.checkpointed and checkpoint_every:
+            back = self.epoch1 % checkpoint_every or checkpoint_every
+            self.prev_epoch1 = self.epoch1 - back
+            self.prev_is_stored = bool(store_every) \
+                and self.prev_epoch1 % store_every == 0
+
+
 def save_state(state, path):
     """Serialize a nested dict of numpy arrays / primitives."""
     path = Path(path)
@@ -72,6 +97,25 @@ def load_checkpoint_any(path):
             return pickle.load(handle)
 
 
+def _expand_multinet(checkpoint, load_sibling=None):
+    """Flatten a multi-network state into ``{name: state}``.
+
+    Two on-disk forms (reference `checkpoints.py:46,111-125`): member states
+    embedded under ``_networks_included`` (single-file checkpoints), or
+    ``_network_names`` naming sibling files in an ``epochs/`` directory —
+    resolved through ``load_sibling`` when given.
+    """
+    states = {"net": checkpoint}
+    for name, state in checkpoint.pop("_networks_included", {}).items():
+        assert name not in states
+        states[name] = state
+    names = checkpoint.pop("_network_names", []) if load_sibling else []
+    for name in names:
+        assert name not in states
+        states[name] = load_sibling(name)
+    return states
+
+
 class Checkpoints:
 
     def __init__(self, directory, store_every, checkpoint_every):
@@ -79,103 +123,101 @@ class Checkpoints:
         self.store_every = store_every
         self.checkpoint_every = checkpoint_every
 
+    def _file(self, name):
+        return self.directory / name
+
     def save_notrain(self, networks_state):
         os.makedirs(self.directory, exist_ok=True)
         for key, state in networks_state.items():
             assert "/" not in key
-            save_state(state, self.directory / (key + SUFFIX_NOTRAIN))
-            (self.directory / (key + SUFFIX_BEST)).symlink_to(key + SUFFIX_NOTRAIN)
-            (self.directory / (key + SUFFIX_LAST)).symlink_to(key + SUFFIX_NOTRAIN)
+            save_state(state, self._file(key + SUFFIX_NOTRAIN))
+            for role in (SUFFIX_BEST, SUFFIX_LAST):
+                self._file(key + role).symlink_to(key + SUFFIX_NOTRAIN)
 
     def save_epoch(self, networks_state, training_state, epoch, is_best, is_last):
         assert epoch >= 0
-        epoch1 = epoch + 1
-        is_checkpointed = (self.checkpoint_every > 0
-                           and epoch1 % self.checkpoint_every == 0) or is_last
-        is_stored = self.store_every > 0 and epoch1 % self.store_every == 0
-        if is_checkpointed:
-            last_checkpoint = epoch - (epoch1 % self.checkpoint_every
-                                       or self.checkpoint_every)
-            last_is_stored = self.store_every > 0 and \
-                (last_checkpoint + 1) % self.store_every == 0
-
+        when = _Cadence(epoch, self.store_every, self.checkpoint_every,
+                        is_last)
         os.makedirs(self.directory, exist_ok=True)
 
         if len(networks_state) > 1:
             networks_state["net"]["_network_names"] = [
-                x for x in networks_state if x != "net"]
+                name for name in networks_state if name != "net"]
 
         for key, state in networks_state.items():
             assert "/" not in key
+            self._place_network(key, state, when, is_best, is_last)
+        if when.persists:
+            self._write_training(training_state, when)
+        for key in networks_state:
+            self._promote_and_roll(key, when, is_last)
+
+    def _place_network(self, key, state, when, is_best, is_last):
+        """Write (or symlink) this epoch's network file plus its role links."""
+        frozen_name = key + SUFFIX_FROZEN
+        if state["frozen"] and not self._file(frozen_name).exists():
+            save_state(state, self._file(frozen_name))
+
+        epoch_name = key + SUFFIX_EPOCH % when.epoch1
+        if when.persists:
             if state["frozen"]:
-                frozen_path = self.directory / (key + SUFFIX_FROZEN)
-                if not frozen_path.exists():
-                    save_state(state, frozen_path)
+                self._file(epoch_name).symlink_to(frozen_name)
+            else:
+                save_state(state, self._file(epoch_name))
 
-            epoch_path = self.directory / (key + SUFFIX_EPOCH % epoch1)
-            if is_checkpointed or is_stored:
-                if state["frozen"]:
-                    epoch_path.symlink_to(key + SUFFIX_FROZEN)
+        roles = [SUFFIX_BEST_SO_FAR] * is_best + [SUFFIX_LAST] * is_last
+        for role in roles:
+            link = self._file(key + role)
+            if link.exists() or link.is_symlink():
+                link.unlink()
+            if state["frozen"]:
+                link.symlink_to(frozen_name)
+            elif when.persists:
+                link.symlink_to(epoch_name)
+            else:
+                save_state(state, link)  # role file carries the only copy
+
+    def _write_training(self, training_state, when):
+        """Training state lands via tmp-file + atomic rename; the previous
+        rolling checkpoint's training file is dropped."""
+        final = self._file(FNAME_TRAINING % when.epoch1)
+        tmp = Path(str(final) + ".tmp")
+        save_state(training_state, tmp)
+        tmp.rename(final)
+        if when.checkpointed and when.prev_epoch1:
+            stale = self._file(FNAME_TRAINING % when.prev_epoch1)
+            if stale.exists():
+                stale.unlink()
+
+    def _promote_and_roll(self, key, when, is_last):
+        """Resurrect a finalized _best into _bestsofar (resume), GC the
+        previous rolling network file (rescuing it into _bestsofar if it IS
+        the best), and finalize _bestsofar -> _best on the last epoch."""
+        best = self._file(key + SUFFIX_BEST_SO_FAR)
+        if not best.exists():
+            retired = self._file(key + SUFFIX_BEST)
+            if retired.exists():
+                retired.rename(best)
+
+        rolls = when.checkpointed and when.prev_epoch1 \
+            and not when.prev_is_stored
+        if rolls:
+            victim = self._file(key + SUFFIX_EPOCH % when.prev_epoch1)
+            if victim.exists():
+                if best.exists() and victim == best.resolve():
+                    best.unlink()
+                    victim.rename(best)
                 else:
-                    save_state(state, epoch_path)
+                    victim.unlink()
 
-            shortcut_paths = []
-            if is_best:
-                shortcut_paths.append(self.directory / (key + SUFFIX_BEST_SO_FAR))
-            if is_last:
-                shortcut_paths.append(self.directory / (key + SUFFIX_LAST))
-            for spath in shortcut_paths:
-                if spath.exists() or spath.is_symlink():
-                    spath.unlink()
-                if state["frozen"]:
-                    spath.symlink_to(key + SUFFIX_FROZEN)
-                elif is_checkpointed or is_stored:
-                    spath.symlink_to(key + SUFFIX_EPOCH % epoch1)
-                else:
-                    save_state(state, spath)
-
-        # training state, atomically
-        if is_checkpointed or is_stored:
-            training_path = self.directory / (FNAME_TRAINING % epoch1)
-            tmp_path = self.directory / ((FNAME_TRAINING % epoch1) + ".tmp")
-            save_state(training_state, tmp_path)
-            tmp_path.rename(training_path)
-            if is_checkpointed and self.checkpoint_every and epoch >= self.checkpoint_every:
-                old = self.directory / (FNAME_TRAINING % (last_checkpoint + 1))
-                if old.exists():
-                    old.unlink()
-
-        # GC previous epoch files; promote best
-        for key, state in networks_state.items():
-            best_path = self.directory / (key + SUFFIX_BEST_SO_FAR)
-            if not best_path.exists():
-                final_best = self.directory / (key + SUFFIX_BEST)
-                if final_best.exists():
-                    final_best.rename(best_path)
-            if is_checkpointed and last_checkpoint >= 0 and not last_is_stored:
-                previous = self.directory / (key + SUFFIX_EPOCH % (last_checkpoint + 1))
-                if previous.exists():
-                    if best_path.exists() and previous == best_path.resolve():
-                        best_path.unlink()
-                        previous.rename(best_path)
-                    else:
-                        previous.unlink()
-            if is_last:
-                if best_path.exists():
-                    best_path.rename(self.directory / (key + SUFFIX_BEST))
+        if is_last and best.exists():
+            best.rename(self._file(key + SUFFIX_BEST))
 
     @staticmethod
     def _load_epoch_network(directory, suffix):
-        network_state = {
-            "net": load_checkpoint_any(Path(directory) / ("net" + suffix))
-        }
-        assert "net" not in network_state["net"].get("_networks_included", {})
-        network_state.update(network_state["net"].pop("_networks_included", {}))
-        for name in network_state["net"].pop("_network_names", []):
-            assert name not in network_state
-            network_state[name] = load_checkpoint_any(
-                Path(directory) / (name + suffix))
-        return network_state
+        sibling = lambda name: load_checkpoint_any(
+            Path(directory) / (name + suffix))
+        return _expand_multinet(sibling("net"), sibling)
 
     def _load_epoch_training(self, fname):
         return load_checkpoint_any(self.directory / fname)
@@ -209,9 +251,7 @@ class Checkpoints:
                     suffix = "_best.pth"
                 return cls._load_epoch_network(path, suffix)
 
-        checkpoint = load_checkpoint_any(directory)
-        assert "net" not in checkpoint.get("_networks_included", {})
-        return {"net": checkpoint, **checkpoint.pop("_networks_included", {})}
+        return _expand_multinet(load_checkpoint_any(directory))
 
     @classmethod
     def load_checkpoint_file(cls, path):

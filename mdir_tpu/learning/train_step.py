@@ -36,31 +36,52 @@ def _merge_params(variables, params):
     return {**variables, "params": params}
 
 
+def _cast_trunk(variables, dtype):
+    """Cast only the ``features`` subtree (every collection) to ``dtype``.
+
+    The head (lwhiten/pool/whiten) params stay f32: with the module's
+    ``head_dtype="float32"`` seam this gives a bf16 conv trunk feeding an
+    f32 pool/L2N/loss tail — the standard mixed-precision split. The full
+    tree cast (measured gradient cosine 0.969 vs f32) fails the training
+    guard; the trunk-only split keeps the loss-sensitive tail exact.
+    """
+    cast = lambda a: a.astype(dtype) \
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
+    out = {}
+    for collection, tree in variables.items():
+        if isinstance(tree, dict) and "features" in tree:
+            tree = {**tree, "features": jax.tree.map(cast, tree["features"])}
+        out[collection] = tree
+    return out
+
+
 def _apply_model(model, params, batch, valid_hw, train, rng,
                  compute_dtype=None):
     """Pure apply of one Model with substituted params; returns (out, new_bs).
 
-    ``compute_dtype`` runs the apply in the MXU's fast dtype with f32 master
+    ``compute_dtype`` runs the trunk in the MXU's fast dtype with f32 master
     params: the cast happens inside the differentiated function, so grads
-    flow back to (and optimizer state stays in) float32. Only used for
-    descriptor models (frozen BN, no train-mode mutations).
+    flow back to (and optimizer state stays in) float32, and only the
+    ``features`` subtree is cast — the head runs f32 via ``head_dtype``.
+    Only used for descriptor models (frozen BN, no train-mode mutations).
     """
     mutable = ["batch_stats"] if (train and "batch_stats" in model.variables) \
         else False
+    module = model.module
+    if compute_dtype is not None and hasattr(module, "head_dtype"):
+        module = module.clone(head_dtype="float32")
 
     def run(params, batch, valid_hw, rng):
         variables = _merge_params(model.variables, params)
         if compute_dtype is not None:
-            cast = lambda a: a.astype(compute_dtype) \
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
-            variables = jax.tree.map(cast, variables)
+            variables = _cast_trunk(variables, compute_dtype)
             batch = batch.astype(compute_dtype)
         rngs = {"dropout": rng} if rng is not None else None
-        if _accepts_train(model.module):
-            return model.module.apply(variables, batch, train=train,
-                                      rngs=rngs, mutable=mutable)
-        return model.module.apply(variables, batch, valid_hw=valid_hw,
-                                  mutable=mutable)
+        if _accepts_train(module):
+            return module.apply(variables, batch, train=train,
+                                rngs=rngs, mutable=mutable)
+        return module.apply(variables, batch, valid_hw=valid_hw,
+                            mutable=mutable)
 
     if batch.size >= _remat_min_elements():
         run = jax.checkpoint(run)
@@ -106,7 +127,8 @@ class TrainStep:
 
         if dtype is not None and (model is None
                                   or isinstance(network, SequentialNetwork)
-                                  or _accepts_train(model.module)):
+                                  or _accepts_train(model.module)
+                                  or not hasattr(model.module, "head_dtype")):
             dtype, guard = None, False
         self._guard_pending = False
         if dtype is not None and guard:

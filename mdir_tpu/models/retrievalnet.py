@@ -58,6 +58,12 @@ class ImageRetrievalNet(nn.Module):
     # (extraction programs only — the kernel has no autodiff rule, so the
     # training apply keeps the XLA composition; see parallel/extract.py)
     pallas_pool: bool = False
+    # mixed-precision seam: cast the trunk's output features to this dtype
+    # before lwhiten/pool/L2N/whiten. The training step clones the module
+    # with head_dtype="float32" so a bf16 trunk feeds an f32 head — the
+    # contrastive loss's margin arithmetic and the L2 normalizations stay
+    # full-precision while the conv FLOPs ride the MXU's native dtype.
+    head_dtype: Optional[str] = None
 
     @property
     def out_channels(self):
@@ -80,6 +86,8 @@ class ImageRetrievalNet(nn.Module):
 
         o, valid_hw = make_trunk(
             self.architecture, self.frozen_bn, name="features")(x, valid_hw)
+        if self.head_dtype is not None:
+            o = o.astype(jnp.dtype(self.head_dtype))
 
         # local whitening on the channel dim (imageretrievalnet.py:99-104)
         if self.local_whitening:
