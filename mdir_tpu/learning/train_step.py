@@ -237,8 +237,9 @@ class TrainStep:
         loss_ok = abs(float(loss_f) - float(loss_e)) \
             <= 0.05 * max(abs(float(loss_e)), 1e-6)
         ok = loss_ok and np.isfinite(flat_f).all() \
-            and dtype_policy.cosine_rows_ok(flat_f[None], flat_e[None],
-                                            min_cosine=0.99)
+            and dtype_policy.cosine_rows_ok(
+                flat_f[None], flat_e[None],
+                min_cosine=dtype_policy.train_guard_min_cosine())
         dtype_policy.record_guard_decision(self.network.model.module, ok,
                                            kind="train")
         if ok:

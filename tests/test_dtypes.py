@@ -171,3 +171,52 @@ def test_train_guard_accepts(rng, monkeypatch):
     assert dtype_policy.guard_decision(network.model.module,
                                        kind="train") is True
     assert np.isfinite(float(loss))
+
+
+def test_train_cast_scopes_to_trunk(rng):
+    """The training cast is trunk-only: the features subtree lands in bf16,
+    every head collection/param stays f32 (the head runs full-precision via
+    the module's head_dtype seam — margin/L2 arithmetic must stay exact)."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.learning.train_step import _cast_trunk
+
+    network, _, _ = _train_fixture(rng)
+    variables = network.model.variables
+    cast = _cast_trunk(variables, jnp.bfloat16)
+    trunk_leaves = jax.tree_util.tree_leaves(cast["params"]["features"])
+    assert all(l.dtype == jnp.bfloat16 for l in trunk_leaves
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                         jnp.floating))
+    head = {k: v for k, v in cast["params"].items() if k != "features"}
+    head_leaves = jax.tree_util.tree_leaves(head)
+    assert head_leaves, "fixture has no head params"
+    assert all(l.dtype == jnp.float32 for l in head_leaves
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                         jnp.floating))
+
+
+def test_train_guard_threshold_calibration(monkeypatch):
+    """The training guard's cosine bar is the calibrated 0.95 (bf16 trunk
+    deviation 0.981 vs inter-batch SGD noise ~0.67 on the real chip), not
+    the extraction guard's 0.997, and stays env-overridable."""
+    assert dtype_policy.train_guard_min_cosine() == 0.95
+    assert dtype_policy.guard_min_cosine() == 0.997
+    monkeypatch.setenv("MDIR_TPU_TRAIN_GUARD_MIN", "0.99")
+    assert dtype_policy.train_guard_min_cosine() == 0.99
+
+
+def test_head_dtype_seam_forces_f32_descriptors(rng):
+    """A module cloned with head_dtype='float32' fed a bf16 batch returns
+    f32 descriptors (the pool/L2N tail runs full-precision)."""
+    import jax.numpy as jnp
+
+    model = _model()
+    module = model.module.clone(head_dtype="float32")
+    batch = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.bfloat16)
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+        model.variables)
+    out = module.apply(variables, batch, valid_hw=None)
+    assert out.dtype == jnp.float32
