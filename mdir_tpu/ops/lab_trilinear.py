@@ -182,16 +182,26 @@ def _soft_corner_onehot(u8_chan, dtype):
             + (iota == t + 1.0) * w[..., None]).astype(dtype)
 
 
-def _lab_n_jax(batch_u8, channels, row_chunk=1):
+def _chunk_divisor(size, want, floor=1):
+    """Largest divisor of ``size`` that is <= ``want`` (but >= ``floor``)."""
+    for d in range(min(want, size), floor, -1):
+        if size % d == 0:
+            return d
+    return floor if size % floor == 0 else size
+
+
+def _lab_n_jax(batch_u8, channels, target_px=2048):
     """(N, H, W, 3) uint8 -> (N, H, W, len(channels)) int32 lattice n values.
 
-    One MXU contraction per row-chunk: the (g, b) pair soft-one-hot
+    One MXU contraction per pixel chunk: the (g, b) pair soft-one-hot
     (integers <= 256, exact in bf16) against the hi/lo-packed node LUT —
     all requested output channels and both table halves ride the same
     matmul — then a 33-wide weighted sum by the r-channel weights. Scanned
-    over row chunks to bound the (px, 1089) transient (whose HBM round
-    trip, not FLOPs, is the cost: ~36 ms/batch-of-8 at 768x1024 on v5e;
-    the fused Pallas kernel ``lab_l_u8_pallas`` measured slower).
+    over ~``target_px``-pixel chunks (splitting W as well as H) so the
+    (px, 1089) pair transient stays VMEM-sized: at 2048 px it is ~4.5 MB
+    and the whole batch-of-8 768x1024 conversion measures ~21 ms on v5e vs
+    ~32 ms for full-row chunks whose 17.8 MB transient round-trips HBM
+    (and ~24.5 ms for the v3 Mosaic kernel, ``lab_n_pallas``).
     """
     nodes = _node_lut3()[..., list(channels)]  # (33, 33, 33, C)
     n_chan = nodes.shape[-1]
@@ -206,11 +216,15 @@ def _lab_n_jax(batch_u8, channels, row_chunk=1):
     node = jnp.asarray(
         np.concatenate([flat >> 7, flat & 127], axis=1), jnp.bfloat16)
     n, h, w_, _ = batch_u8.shape
-    chunk = min(row_chunk, h)
-    while h % chunk:
-        chunk -= 1
+    rows = _chunk_divisor(h, max(1, target_px // max(1, n * w_)))
+    wcols = w_
+    if rows == 1 and n * w_ > target_px:
+        # keep lane extents 128-aligned where W allows; tiny widths keep W
+        wcols = _chunk_divisor(w_, max(1, target_px // n), floor=127)
     vals = jnp.moveaxis(
-        batch_u8.reshape(n, h // chunk, chunk, w_, 3), 1, 0)
+        batch_u8.reshape(n, h // rows, rows, w_ // wcols, wcols, 3),
+        (1, 3), (0, 1)).reshape(
+        (h // rows) * (w_ // wcols), n, rows, wcols, 3)
 
     def body(_, v):  # (N, chunk, W, 3)
         o_r = _soft_corner_onehot(v[..., 0], jnp.float32)
@@ -230,16 +244,17 @@ def _lab_n_jax(batch_u8, channels, row_chunk=1):
         return None, (blend + 2048) >> 12
 
     _, out = jax.lax.scan(body, None, vals)
-    return jnp.moveaxis(out, 0, 1).reshape(n, h, w_, n_chan)
+    out = out.reshape(h // rows, w_ // wcols, n, rows, wcols, n_chan)
+    return jnp.moveaxis(out, (0, 1), (1, 3)).reshape(n, h, w_, n_chan)
 
 
-def lab_l_u8_jax(batch_u8, row_chunk=1):
+def lab_l_u8_jax(batch_u8, target_px=2048):
     """(N, H, W, 3) uint8 -> (N, H, W) int32 l_u8, bit-exact with cv2."""
-    nval = _lab_n_jax(batch_u8, (0,), row_chunk)[..., 0]
+    nval = _lab_n_jax(batch_u8, (0,), target_px)[..., 0]
     return ((nval * 255) >> 14).astype(jnp.int32)
 
 
-def lab_chan_jax(batch_u8, row_chunk=1):
+def lab_chan_jax(batch_u8, target_px=2048):
     """JAX version of ``lab_chan_np``: (l_u8 int32, ab f32).
 
     The integer lattice (and hence l_u8) is bit-exact on TPU (verified
@@ -248,18 +263,18 @@ def lab_chan_jax(batch_u8, row_chunk=1):
     reciprocal multiply — observed <= 1.2e-7, vastly below the ~1e-3
     inverse-conversion float path that follows downstream).
     """
-    nval = _lab_n_jax(batch_u8, (0, 1, 2), row_chunk)
+    nval = _lab_n_jax(batch_u8, (0, 1, 2), target_px)
     l_u8 = ((nval[..., 0] * 255) >> 14).astype(jnp.int32)
     ab = (nval[..., 1:].astype(jnp.float32) * jnp.float32(1.0 / 64.0)) \
         / jnp.float32(255.0)
     return l_u8, ab
 
 
-def lab_normspace_jax(batch_u8, row_chunk=1):
+def lab_normspace_jax(batch_u8, target_px=2048):
     """uint8 RGB -> the host's normalized lab space: channel 0 = L/100
     (== n_L / 2^14, exact — power-of-two scale), 1/2 = (chan+128)/255
     (to the last ulp of the divide on TPU; see ``lab_chan_jax``)."""
-    nval = _lab_n_jax(batch_u8, (0, 1, 2), row_chunk).astype(jnp.float32)
+    nval = _lab_n_jax(batch_u8, (0, 1, 2), target_px).astype(jnp.float32)
     ch0 = nval[..., :1] * jnp.float32(1.0 / LAB_BASE)
     ab = (nval[..., 1:] * jnp.float32(1.0 / 64.0)) / jnp.float32(255.0)
     return jnp.concatenate([ch0, ab], axis=-1)
@@ -511,14 +526,16 @@ def lab_n_pallas(batch_u8, interpret=False, flat_px=1024):
 
 
 def _use_pallas_lab():
-    return os.environ.get("MDIR_TPU_LAB_PALLAS", "1") == "1" \
+    # the W-chunked XLA scan (VMEM-sized pair transient) measures ~21 ms
+    # vs the v3 Mosaic kernel's ~24.5 ms per batch-of-8 at 768x1024 on
+    # v5e, so XLA is the default; MDIR_TPU_LAB_PALLAS=1 re-selects Mosaic
+    return os.environ.get("MDIR_TPU_LAB_PALLAS", "0") == "1" \
         and jax.default_backend() == "tpu"
 
 
 def lab_chan(batch_u8, interpret=False):
-    """Production ``lab_chan_jax``: the v2 Pallas kernel on TPU backends
-    (same bit-exact integers, ~2.5x faster at 16x768x1024), the XLA scan
-    elsewhere."""
+    """Production ``lab_chan_jax`` (the W-chunked XLA contraction; the v3
+    Mosaic kernel stays available behind ``MDIR_TPU_LAB_PALLAS=1``)."""
     if not _use_pallas_lab() and not interpret:
         return lab_chan_jax(batch_u8)
     nval = lab_n_pallas(batch_u8, interpret=interpret)

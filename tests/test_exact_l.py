@@ -337,3 +337,20 @@ def test_device_corner_check():
     TPU divide's 1-ulp slack) reproduces the exact u8 tables."""
     lt.device_corner_check.cache_clear()
     assert lt.device_corner_check()
+
+
+def test_wchunk_scan_partitions_bit_exact():
+    """The scan's pixel-chunking (splitting W as well as H to keep the pair
+    transient VMEM-sized) is a pure partitioning of the same per-pixel
+    integer pipeline: every (target_px, shape) combination must reproduce
+    the numpy replica exactly — including widths with no >=128 divisor and
+    single-pixel images."""
+    rng = np.random.RandomState(7)
+    for shape in [(2, 16, 128), (1, 7, 33), (3, 32, 160), (1, 1, 1),
+                  (2, 30, 254), (1, 8, 1024)]:
+        batch = rng.randint(0, 256, shape + (3,)).astype(np.uint8)
+        ref = lt._lab_n_np(batch)
+        for target_px in (1, 64, 2048, 10 ** 9):
+            got = np.asarray(lt._lab_n_jax(batch, (0, 1, 2), target_px))
+            np.testing.assert_array_equal(got, ref, err_msg=str(
+                (shape, target_px)))
