@@ -368,9 +368,46 @@ def _chain_e2e_subprocess(chain_dsl, n_images, max_batch, mean_std):
             "clahe_chain_ships_l": bool(chain.ships_l)}
 
 
+def _device_alive(deadline_s=120.0):
+    """Probe the backend with a hard deadline in a watchdog thread.
+
+    The axon tunnel occasionally goes unresponsive for long stretches
+    (observed >1 h): a trivial jitted op then blocks forever and the whole
+    bench would hang without ever printing its JSON line. The probe runs
+    in a daemon thread; if it misses the deadline the bench emits an
+    explicit tunnel-down JSON line and exits nonzero instead.
+    """
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        r = jax.jit(lambda x: (x * 2).sum())(
+            jax.device_put(np.ones((8, 128), np.float32)))
+        np.asarray(r)
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    return bool(ok)
+
+
 def main():
     from mdir_tpu.models import initialize_model
     from mdir_tpu.parallel.extract import extract_vectors_batched
+
+    if not _device_alive(float(os.environ.get("BENCH_PROBE_DEADLINE",
+                                              "180"))):
+        print(json.dumps({
+            "metric": "device_resident_imgs_per_sec", "value": 0.0,
+            "unit": "imgs/s", "vs_baseline": 0.0,
+            "error": "device unresponsive: trivial jitted op missed the "
+                     "probe deadline (tunnel outage) — no measurement "
+                     "possible this run"}))
+        return 1
 
     arch = os.environ.get("BENCH_ARCH", "resnet101")
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024"))
