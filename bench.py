@@ -350,7 +350,8 @@ def _chain_e2e_subprocess(chain_dsl, n_images, max_batch, mean_std):
     env = dict(os.environ)
     env.update({"BENCH_TRANSFORMS": chain_dsl, "BENCH_VARIANTS": "0",
                 "BENCH_RESIDENT": "0", "BENCH_IMAGES": str(n_images),
-                "BENCH_MAX_BATCH": str(max_batch)})
+                "BENCH_MAX_BATCH": str(max_batch),
+                "MDIR_TPU_UPLINK_STATS": "1"})
     env.pop("BENCH_DEBUG", None)
     proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                           capture_output=True, text=True, env=env,
@@ -363,9 +364,13 @@ def _chain_e2e_subprocess(chain_dsl, n_images, max_batch, mean_std):
 
     chain = chain_from_transform(
         initialize_transforms(chain_dsl, list(mean_std)))
-    return {"clahe_chain_e2e_imgs_per_sec": sub["value"],
-            "clahe_chain_ingress_saturation": sub["ingress_saturation"],
-            "clahe_chain_ships_l": bool(chain.ships_l)}
+    lifted = {"clahe_chain_e2e_imgs_per_sec": sub["value"],
+              "clahe_chain_ingress_saturation": sub["ingress_saturation"],
+              "clahe_chain_ships_l": bool(chain.ships_l)}
+    for key in ("uplink_batch_put_s", "uplink_aux_put_s", "uplink_chunks"):
+        if key in sub:
+            lifted["clahe_chain_" + key] = sub[key]
+    return lifted
 
 
 def _device_alive(deadline_s=120.0):
@@ -450,6 +455,8 @@ def main():
         arrays = [chain.host_input(a) for a in arrays]
         shipped_bytes = sum(a.nbytes for a in arrays)
 
+    last_stats = []
+
     def run(imgs):
         if chain is not None:
             from mdir_tpu.parallel.extract import StreamingExtractor
@@ -460,7 +467,10 @@ def main():
                 dtype_guard=dtype_guard)
             for i, arr in enumerate(imgs):
                 extractor.add(i, arr)
-            return extractor.finish(len(imgs))
+            out = extractor.finish(len(imgs))
+            if extractor.stats:
+                last_stats[:] = extractor.stats
+            return out
         return extract_vectors_batched(
             model, imgs, scales=scales, msp=msp, max_batch=max_batch,
             normalize_mean_std=mean_std, compute_dtype=compute_dtype,
@@ -509,6 +519,15 @@ def main():
         "tunnel_mbps_min": round(min(tunnels), 1),
         "ingress_saturation": round(best_sat, 2),
     }
+    if last_stats:
+        # per-chunk uplink-thread occupancy (MDIR_TPU_UPLINK_STATS=1): time
+        # the transfer thread spent NOT moving the batch is the pipeline's
+        # own overhead — the saturation gap's breakdown
+        result["uplink_batch_put_s"] = round(
+            sum(s["batch_put_s"] for s in last_stats), 2)
+        result["uplink_aux_put_s"] = round(
+            sum(s["aux_put_s"] for s in last_stats), 2)
+        result["uplink_chunks"] = len(last_stats)
 
     # headline resident rate runs the PRODUCTION dtype (bf16-guarded on
     # the chip since round 3); f32 stays as the cross-check variant

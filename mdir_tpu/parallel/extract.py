@@ -12,6 +12,7 @@ compiled program serves all native sizes in a bucket.
 """
 import collections
 import math
+import time
 
 import jax
 import jax.numpy as jnp
@@ -411,6 +412,10 @@ class StreamingExtractor:
         self.saw_full = set()  # buckets that compiled a full-size program
         self.results = []  # (indices, device array), synced in finish()
         self._uplink = None  # transfer/dispatch pipeline (_Uplink)
+        # opt-in per-chunk uplink timing (saturation diagnosis):
+        # [{batch_put_s, aux_put_s, bytes}] per dispatched chunk
+        self.stats = [] \
+            if _os.environ.get("MDIR_TPU_UPLINK_STATS") else None
 
     def _bucket(self, arr):
         return (_round_up(arr.shape[0], self.bucket_multiple),
@@ -489,12 +494,19 @@ class StreamingExtractor:
     def _transfer_and_launch(self, indices, batch, valid, grids, clahe_aux,
                              boxes):
         """Host->device transfers + one async program launch for a chunk."""
+        t0 = time.time() if self.stats is not None else 0.0
         if self._packed:
             dev_batch = jnp.asarray(batch)
+            t1 = time.time() if self.stats is not None else 0.0
             blob = jnp.asarray(_pack_host_aux(valid, grids, clahe_aux))
             dev_boxes = None if boxes is None \
                 else tuple(jnp.asarray(b) for b in boxes)
             call = (dev_batch, blob, dev_boxes)
+            if self.stats is not None:
+                t2 = time.time()
+                self.stats.append({"batch_put_s": t1 - t0,
+                                   "aux_put_s": t2 - t1,
+                                   "bytes": batch.nbytes})
         else:
             put = lambda a: jax.device_put(a, self.shard)
             dev_batch = put(batch)
