@@ -20,6 +20,7 @@ points replicate ``ChannelClahe.apply``: ``(chan*255).astype(uint8)`` (i.e.
 truncation) -> CLAHE -> ``/255``.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -431,9 +432,17 @@ def clahe_u8_bucketed_jax(batch_vals, aux, grid=(8, 8)):
     contraction rewrite, so that gate now only covers pooling."""
     gh, gw = grid
 
+    # the vmap over the batch multiplies every scan-step transient by B:
+    # the (chunk, BW, 256) one-hots must be sized so B x chunk x BW x 256
+    # stays VMEM-resident instead of round-tripping HBM (same finding as
+    # the trilinear-lab pair transient; 256 lanes x 8192 px x bf16 = 4 MB)
+    target = int(os.environ.get("MDIR_TPU_CLAHE_CHUNK_PX", "8192"))
+    n, _bh, bw = batch_vals.shape
+    chunk = max(1, target // max(1, n * bw))  # both kernels re-fit to H
+
     def tile_luts(vals, row_src, col_src, row_tile, col_tile, clim, scale):
         padded = jnp.take(jnp.take(vals, row_src, axis=0), col_src, axis=1)
-        hist = _hist_dynamic(padded, row_tile, col_tile, gh, gw)
+        hist = _hist_dynamic(padded, row_tile, col_tile, gh, gw, chunk=chunk)
         return _luts_dynamic(hist.reshape(gh * gw, HIST_SIZE), clim, scale)
 
     luts = jax.vmap(tile_luts)(batch_vals, aux["row_src"], aux["col_src"],
@@ -441,5 +450,5 @@ def clahe_u8_bucketed_jax(batch_vals, aux, grid=(8, 8)):
                                aux["scale"])
 
     return jax.vmap(lambda v, l, ith, itw: _interp_dynamic(
-        v, l, ith, itw, gh, gw))(batch_vals, luts, aux["inv_th"],
-                                 aux["inv_tw"])
+        v, l, ith, itw, gh, gw, chunk=chunk))(batch_vals, luts,
+                                              aux["inv_th"], aux["inv_tw"])
