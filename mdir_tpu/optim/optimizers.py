@@ -50,6 +50,16 @@ class Optimizer:
         self.state = tx.init(params)
         self.base_lrs = base_lrs  # {group: base lr}
         self.group_names = group_names
+        # one compiled program per step: an un-jitted optax update is
+        # thousands of individual dispatches over the param tree, which on
+        # a remote-device backend costs more than the gradient computation
+        # itself (hyperparams like lr are state arrays, so no retrace when
+        # the scheduler changes them)
+        self._update = jax.jit(self._update_fn)
+
+    def _update_fn(self, grads, state, params):
+        updates, new_state = self.tx.update(grads, state, params)
+        return optax.apply_updates(params, updates), new_state
 
     @classmethod
     def create(cls, net_parameters, algorithm, lr, weight_decay, momentum=None):
@@ -71,8 +81,8 @@ class Optimizer:
         return cls(tx, params, base_lrs, group_names)
 
     def apply(self, params, grads):
-        updates, self.state = self.tx.update(grads, self.state, params)
-        return optax.apply_updates(params, updates)
+        new_params, self.state = self._update(grads, self.state, params)
+        return new_params
 
     def zero_grad(self):
         pass  # functional gradients; kept for API parity
