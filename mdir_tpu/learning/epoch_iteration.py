@@ -22,6 +22,16 @@ from ..tools.utils import get_dataset_params, indent
 from .train_step import TrainStep, prepare_batch
 
 
+@jax.jit
+def _div_tree(tree, scalar):
+    return jax.tree.map(lambda g: g / scalar, tree)
+
+
+@jax.jit
+def _mul_tree(tree, scalar):
+    return jax.tree.map(lambda g: g * scalar, tree)
+
+
 class SupervisedEpoch:
 
     LOG_TRAINDATA_SAMPLE_EVERY = 5
@@ -137,14 +147,16 @@ class SupervisedEpoch:
             params, batch, valid, targets, rng, clahe_aux=clahe_aux)
         output = aux.pop("_output", None)
 
-        # batch_average vs criterion-reduction reconciliation
+        # batch_average vs criterion-reduction reconciliation (the tree
+        # scale is one jitted program — an un-jitted tree_map is hundreds
+        # of per-leaf dispatches per step on a remote-device backend)
         loss = float(np.asarray(loss))
         if self.batch_average > self.criterion_mean_reduction:
             loss /= batch_size
-            grads = jax.tree.map(lambda g: g / batch_size, grads)
+            grads = _div_tree(grads, np.float32(batch_size))
         elif self.batch_average < self.criterion_mean_reduction:
             loss *= batch_size
-            grads = jax.tree.map(lambda g: g * batch_size, grads)
+            grads = _mul_tree(grads, np.float32(batch_size))
 
         # optimizer step + write back new params / batch stats
         if isinstance(network, SequentialNetwork):
