@@ -12,6 +12,7 @@ that picks between them.
 """
 import copy
 
+import jax
 import numpy as np
 
 from ..data.datasets import initialize_dataset_loader
@@ -81,6 +82,9 @@ class LossValidation(_ScheduledValidation):
         super().__init__(network_overlay, frequency)
         self.data_loader = data_loader
         self.criterion = criterion
+        # criteria are pure jnp functions; un-jitted they dispatch each op
+        # individually per validation batch (costly on remote backends)
+        self._criterion_jit = jax.jit(criterion.__call__)
         assert criterion.reduction in {"mean", "sum"}, criterion.reduction
 
     def _batch_loss(self, network, images, targets):
@@ -89,7 +93,8 @@ class LossValidation(_ScheduledValidation):
                 [np.asarray(t).reshape(-1) for t in targets])
         else:
             targets = np.asarray(targets)
-        loss = float(np.asarray(self.criterion(network(images), targets)))
+        loss = float(np.asarray(self._criterion_jit(network(images),
+                                                    targets)))
         if self.criterion.reduction == "sum":
             loss /= len(images)
         return loss
