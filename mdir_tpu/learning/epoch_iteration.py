@@ -150,12 +150,12 @@ class SupervisedEpoch:
         # batch_average vs criterion-reduction reconciliation (the tree
         # scale is one jitted program — an un-jitted tree_map is hundreds
         # of per-leaf dispatches per step on a remote-device backend)
-        loss = float(np.asarray(loss))
+        divide_loss = multiply_loss = False
         if self.batch_average > self.criterion_mean_reduction:
-            loss /= batch_size
+            divide_loss = True
             grads = _div_tree(grads, np.float32(batch_size))
         elif self.batch_average < self.criterion_mean_reduction:
-            loss *= batch_size
+            multiply_loss = True
             grads = _mul_tree(grads, np.float32(batch_size))
 
         # optimizer step + write back new params / batch stats
@@ -173,17 +173,30 @@ class SupervisedEpoch:
                 network.model.variables = {**network.model.variables,
                                            "batch_stats": aux["net"]}
 
-        # report batch-averaged like the reference
-        cumloss = loss
-        if self.batch_average is not None and not self.batch_average:
-            cumloss /= batch_size
+        # report batch-averaged like the reference. The loss stays a device
+        # scalar inside a deferred closure: the caller reads it one step
+        # late, so the next batch's host->device transfer overlaps this
+        # step's device compute instead of blocking on a host read here
+        # (the exact float arithmetic of the eager version is preserved)
+        batch_avg_off = self.batch_average is not None \
+            and not self.batch_average
+
+        def loss_value(loss_dev=loss):
+            value = float(np.asarray(loss_dev))
+            if divide_loss:
+                value /= batch_size
+            elif multiply_loss:
+                value *= batch_size
+            if batch_avg_off:
+                value /= batch_size
+            return {"total": value}
 
         # output stays a lazy device array; it is sliced/transferred only on
         # the (rare) sample-logging iterations
         last_image = batch_images[-1]
         if isinstance(last_image, list):
             output = None
-        return {"total": cumloss}, last_image, output, batch_targets[-1]
+        return loss_value, last_image, output, batch_targets[-1]
 
     def _log_parameter_weights(self, network, logger):
         for train_data in network.train_data():
@@ -248,13 +261,22 @@ class SupervisedEpoch:
 
         network.train()
 
+        pending_loss = None  # (iteration, deferred closure): 1-step lag
         for i, (batch_images, batch_targets) in enumerate(train_loader):
             stopwatch.lap("prepare_data")
             step_data = self._optimization_step(network, optimizer, device,
                                                 batch_images, batch_targets)
             stopwatch.lap("process_batch")
-            logger(i, len(train_loader), "learning/loss", step_data[0],
-                   "scalar/loss")
+            # read the PREVIOUS step's loss now that this step is enqueued:
+            # the host sync then overlaps this step's transfer/compute
+            if pending_loss is not None:
+                logger(pending_loss[0], len(train_loader), "learning/loss",
+                       pending_loss[1](), "scalar/loss")
+            pending_loss = (i, step_data[0])
+            if i == len(train_loader) - 1:
+                logger(i, len(train_loader), "learning/loss",
+                       pending_loss[1](), "scalar/loss")
+                pending_loss = None
 
             if i == len(train_loader) - 1:
                 self._log_parameter_weights(
