@@ -287,12 +287,12 @@ class TuplesDataset:
             self.transform)  # (D, P)
 
         print(">> Searching for hard negatives...")
-        import jax.numpy as jnp
-        import jax
+        from ..ops.ranking import rank_database
 
-        scores = jnp.dot(jnp.asarray(poolvecs).T, jnp.asarray(qvecs),
-                         precision=jax.lax.Precision.HIGHEST)
-        ranks = np.asarray(jnp.argsort(-scores, axis=0))
+        # one jitted program (un-jitted ops dispatch individually and cost
+        # seconds each on the remote backend)
+        ranks = np.asarray(rank_database(np.asarray(poolvecs, np.float32),
+                                         np.asarray(qvecs, np.float32)))
         qvecs = np.asarray(qvecs)
         poolvecs = np.asarray(poolvecs)
 
