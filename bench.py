@@ -229,7 +229,10 @@ def _measure_train_step(model, compute_dtype="auto", reps=3):
 
     flops = None
     try:
-        lowered = step._grad_fn.lower(params, batch, valid, tgt, key, None)
+        net_vars = {k: v for k, v in network.model.variables.items()
+                    if k != "params"}
+        lowered = step._grad_fn.lower(params, batch, valid, tgt, key, None,
+                                      net_vars)
         cost = lowered.compile().cost_analysis()
         if cost:
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
@@ -245,7 +248,9 @@ def _measure_train_step(model, compute_dtype="auto", reps=3):
 
     # chip-side: same program, inputs staged in HBM
     dev = (jax.device_put(params), jax.device_put(batch),
-           jax.device_put(valid), jax.device_put(tgt), key, None)
+           jax.device_put(valid), jax.device_put(tgt), key, None,
+           jax.device_put({k: v for k, v in network.model.variables.items()
+                           if k != "params"}))
     _sync(jax.tree_util.tree_leaves(step._grad_fn(*dev)[1])[0])
     start = time.time()
     for _ in range(reps):

@@ -56,8 +56,14 @@ def _cast_trunk(variables, dtype):
 
 
 def _apply_model(model, params, batch, valid_hw, train, rng,
-                 compute_dtype=None):
+                 compute_dtype=None, extra_vars=None):
     """Pure apply of one Model with substituted params; returns (out, new_bs).
+
+    ``extra_vars`` are the non-param collections (batch_stats) passed as a
+    TRACED input: reading ``model.variables`` inside the traced function
+    would bake them in as compile-time constants, so evolving BN running
+    stats from earlier steps would never be seen again (stale-stats bug).
+    ``None`` falls back to the snapshot for stateless/frozen uses.
 
     ``compute_dtype`` runs the trunk in the MXU's fast dtype with f32 master
     params: the cast happens inside the differentiated function, so grads
@@ -70,9 +76,12 @@ def _apply_model(model, params, batch, valid_hw, train, rng,
     module = model.module
     if compute_dtype is not None and hasattr(module, "head_dtype"):
         module = module.clone(head_dtype="float32")
+    if extra_vars is None:
+        extra_vars = {k: v for k, v in model.variables.items()
+                      if k != "params"}
 
-    def run(params, batch, valid_hw, rng):
-        variables = _merge_params(model.variables, params)
+    def run(params, extra_vars, batch, valid_hw, rng):
+        variables = _merge_params(extra_vars, params)
         if compute_dtype is not None:
             variables = _cast_trunk(variables, compute_dtype)
             batch = batch.astype(compute_dtype)
@@ -85,7 +94,7 @@ def _apply_model(model, params, batch, valid_hw, train, rng,
 
     if batch.size >= _remat_min_elements():
         run = jax.checkpoint(run)
-    out = run(params, batch, valid_hw, rng)
+    out = run(params, extra_vars, batch, valid_hw, rng)
     if mutable:
         return out[0], out[1].get("batch_stats")
     return out, None
@@ -179,14 +188,15 @@ class TrainStep:
                          for name in sequence}
 
             def forward(params_by_net, batch, valid_hw, targets, rng,
-                        clahe_aux):
+                        clahe_aux, vars_by_net):
                 aux = {}
                 out = preprocess(batch, valid_hw, clahe_aux)
                 for name in sequence:
                     model = models[name]
                     p = params_by_net.get(name, model.params)
                     out, new_bs = _apply_model(
-                        model, p, out, None, trainable[name], rng)
+                        model, p, out, None, trainable[name], rng,
+                        extra_vars=vars_by_net.get(name))
                     if new_bs is not None:
                         aux[name] = new_bs
                 if getattr(models[sequence[-1]], "is_descriptor_model", False):
@@ -197,10 +207,12 @@ class TrainStep:
         else:
             model = network.model
 
-            def forward(params, batch, valid_hw, targets, rng, clahe_aux):
+            def forward(params, batch, valid_hw, targets, rng, clahe_aux,
+                        net_vars):
                 batch = preprocess(batch, valid_hw, clahe_aux)
                 out, new_bs = _apply_model(model, params, batch, valid_hw,
-                                           True, rng, compute_dtype)
+                                           True, rng, compute_dtype,
+                                           extra_vars=net_vars)
                 out = out.astype(jnp.float32)  # loss/logging stay f32
                 if getattr(model, "is_descriptor_model", False):
                     out = out.T  # criterion expects D x N columns
@@ -210,9 +222,10 @@ class TrainStep:
                 return loss, aux
 
         @jax.jit
-        def value_and_grad(params, batch, valid_hw, targets, rng, clahe_aux):
+        def value_and_grad(params, batch, valid_hw, targets, rng, clahe_aux,
+                           net_vars):
             return jax.value_and_grad(forward, has_aux=True)(
-                params, batch, valid_hw, targets, rng, clahe_aux)
+                params, batch, valid_hw, targets, rng, clahe_aux, net_vars)
 
         return value_and_grad
 
@@ -256,6 +269,20 @@ class TrainStep:
             from ..ops.clahe import pack_clahe_aux
 
             clahe_aux = pack_clahe_aux(clahe_aux)
+        # live non-param collections ship through the jit boundary so BN
+        # running stats written back after each step are actually READ by
+        # the next step (a closure read would freeze the trace-time values)
+        from .network import SequentialNetwork
+
+        def _extras(model):
+            return {k: v for k, v in model.variables.items()
+                    if k != "params"}
+
+        if isinstance(self.network, SequentialNetwork):
+            net_vars = {name: _extras(self.network.networks[name].model)
+                        for name in self.network.sequence}
+        else:
+            net_vars = _extras(self.network.model)
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
 
@@ -265,6 +292,7 @@ class TrainStep:
                 "batch size %d not divisible by %d devices" % (
                     batch.shape[0], self.mesh.devices.size)
             params = jax.device_put(params, repl)
+            net_vars = jax.device_put(net_vars, repl)
             batch = jax.device_put(np.asarray(batch), shard)
             if valid_hw is not None:
                 valid_hw = jax.device_put(np.asarray(valid_hw), shard)
@@ -272,7 +300,8 @@ class TrainStep:
             if clahe_aux is not None:
                 clahe_aux = tuple(jax.device_put(np.asarray(a), shard)
                                   for a in clahe_aux)
-        call_args = (params, batch, valid_hw, targets, rng, clahe_aux)
+        call_args = (params, batch, valid_hw, targets, rng, clahe_aux,
+                     net_vars)
         result = self._grad_fn(*call_args)
         if self._guard_pending:
             result = self._run_dtype_guard(result, call_args)

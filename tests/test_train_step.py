@@ -62,9 +62,11 @@ def test_remat_engages_and_matches(monkeypatch):
     # threshold and absent below it
     def trace(step, threshold):
         monkeypatch.setenv("MDIR_TPU_REMAT_MIN_ELEMENTS", str(threshold))
+        net_vars = {k: v for k, v in network.model.variables.items()
+                    if k != "params"}
         return str(jax.make_jaxpr(
             lambda p: step._grad_fn(p, batch, valid, targets, key,
-                                    None))(params))
+                                    None, net_vars))(params))
 
     assert "remat" in trace(step_remat, 0)
     assert "remat" not in trace(step_plain, 10 ** 15)
@@ -134,3 +136,67 @@ def test_device_chain_train_step_matches_host():
             # residual: cv2's internal cbrt spline on the a/b channels
             # (~1e-3/px); far below SGD noise for training purposes
             assert cos > 0.995, cos
+
+
+def test_batch_stats_accumulate_across_steps():
+    """BN running stats must flow INTO each training step, not be baked in
+    as trace-time constants: two steps on different batches end with
+    different stats than one direct step on the second batch (torch
+    cumulative running-average semantics; regression for the stale-stats
+    closure bug)."""
+    import jax
+
+    from mdir_tpu.learning.network import initialize_network
+    from mdir_tpu.optim.criteria import initialize_criterion
+
+    def mknet():
+        return initialize_network({
+            "type": "SingleNetwork", "path": None,
+            "model": {"architecture": "p2p_unet", "in_channels": 3,
+                      "out_channels": 3, "nested_levels": 3},
+            "initialize": {"weights": "normal_p2p", "seed": 0},
+            "runtime": {"wrappers": "",
+                        "data": {"mean_std": [[0.5] * 3, [0.5] * 3],
+                                 "transforms":
+                                 "pil2np | totensor | normalize"}},
+        }, None)
+
+    from mdir_tpu.learning.train_step import TrainStep, prepare_batch
+
+    criterion = initialize_criterion({"loss": "l1"})
+    rng = np.random.RandomState(0)
+    mk = lambda off: [rng.rand(64, 64, 3).astype(np.float32) + off
+                      for _ in range(2)]
+    targets = mk(0)
+    b1, v1, t1, _ = prepare_batch(mk(0), targets)
+    b2, v2, t2, _ = prepare_batch(mk(5.0), targets)
+    key = jax.random.PRNGKey(0)
+
+    def stats(aux):
+        return np.concatenate([np.asarray(l).ravel() for l in
+                               jax.tree_util.tree_leaves(aux["net"])])
+
+    net = mknet()
+    step = TrainStep(net, criterion, batch_average=True)
+    (_, aux1), _ = step.gradients(net.model.params, b1, v1, t1, key)
+    net.model.variables = {**net.model.variables,
+                           "batch_stats": aux1["net"]}
+    (_, aux2), _ = step.gradients(net.model.params, b2, v2, t2, key)
+
+    fresh = mknet()
+    step2 = TrainStep(fresh, criterion, batch_average=True)
+    (_, aux3), _ = step2.gradients(fresh.model.params, b2, v2, t2, key)
+
+    assert not np.allclose(stats(aux2), stats(aux3)), \
+        "batch_stats input is a stale trace-time constant"
+
+    # cumulative torch/flax formula: with momentum m, the two-step result
+    # equals m * stats(step1) + (1 - m) * batchstats(b2), where the second
+    # term is recoverable from the fresh run: fresh = m * init + (1-m) * bs2
+    init = np.concatenate([np.asarray(l).ravel() for l in
+                           jax.tree_util.tree_leaves(
+                               mknet().model.variables["batch_stats"])])
+    m = 0.9
+    bs2 = (stats(aux3) - m * init) / (1 - m)
+    np.testing.assert_allclose(stats(aux2), m * stats(aux1) + (1 - m) * bs2,
+                               rtol=1e-4, atol=1e-5)
