@@ -308,6 +308,44 @@ class TrainStep:
         return result
 
 
+_EVAL_LOSS_CACHE = {}
+
+
+def get_eval_loss_fn(network, criterion):
+    """Jitted eval-mode loss over one flattened padded tuple batch, or None.
+
+    Batched replacement for the wrapper path's per-image loop in loss
+    validation (each per-image apply is a separate dispatch at batch 1):
+    the tuple batch runs as ONE padded masked program — exactly equal to
+    the per-image path by the bucketed-extraction invariant — when the
+    network is a plain descriptor net whose eval wrappers only reshape
+    (FakeBatch family). Cached per (module, criterion) so repeated frozen
+    validation copies across epochs reuse the compiled program.
+    """
+    from .network import SequentialNetwork
+    from .wrappers import FakeBatch
+
+    model = getattr(network, "model", None)
+    if model is None or isinstance(network, SequentialNetwork):
+        return None
+    compose = network.wrappers.get("eval")
+    if compose is None or not all(isinstance(w, FakeBatch)
+                                  for w in compose.wrappers):
+        return None
+    key = (id(model.module), id(criterion))
+    if key not in _EVAL_LOSS_CACHE:
+        def loss_fn(params, net_vars, batch, valid_hw, targets):
+            out, _ = _apply_model(model, params, batch, valid_hw, False,
+                                  None, extra_vars=net_vars)
+            out = out.astype(jnp.float32)
+            if getattr(model, "is_descriptor_model", False):
+                out = out.T  # criterion expects D x N columns
+            return criterion(out, targets)
+
+        _EVAL_LOSS_CACHE[key] = jax.jit(loss_fn)
+    return _EVAL_LOSS_CACHE[key]
+
+
 def pad_image_batch(images, multiple=32):
     """Pad a list of HWC arrays into one (N, H, W, C) bucket + valid_hw."""
     max_h = max(img.shape[0] for img in images)

@@ -88,6 +88,25 @@ class LossValidation(_ScheduledValidation):
         assert criterion.reduction in {"mean", "sum"}, criterion.reduction
 
     def _batch_loss(self, network, images, targets):
+        # tuple batches over a plain descriptor net run as ONE padded
+        # masked program instead of a per-image wrapper loop (equal by the
+        # bucketed-extraction invariant); everything else falls through to
+        # the wrapper path
+        if isinstance(images, list) and images \
+                and isinstance(images[0], list):
+            from .train_step import get_eval_loss_fn, prepare_batch
+
+            fn = get_eval_loss_fn(network, self.criterion)
+            if fn is not None:
+                batch, valid, tgt, _ = prepare_batch(images, targets)
+                net_vars = {k: v for k, v in
+                            network.model.variables.items()
+                            if k != "params"}
+                loss = float(np.asarray(fn(network.model.params, net_vars,
+                                           batch, valid, tgt)))
+                if self.criterion.reduction == "sum":
+                    loss /= len(images)
+                return loss
         if isinstance(targets, list):
             targets = np.concatenate(
                 [np.asarray(t).reshape(-1) for t in targets])

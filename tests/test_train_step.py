@@ -200,3 +200,42 @@ def test_batch_stats_accumulate_across_steps():
     bs2 = (stats(aux3) - m * init) / (1 - m)
     np.testing.assert_allclose(stats(aux2), m * stats(aux1) + (1 - m) * bs2,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_batched_eval_loss_equals_wrapper_path():
+    """LossValidation's batched tuple program must equal the per-image
+    wrapper path exactly (bucketed-extraction invariant), including
+    mixed-shape tuples and the fakebatch D x N layout."""
+    from mdir_tpu.learning.train_step import get_eval_loss_fn, prepare_batch
+    from mdir_tpu.learning.wrappers import CirFakeTupleBatch, Compose
+    from mdir_tpu.optim.criteria import initialize_criterion
+
+    network = _make_network()
+    network.wrappers["eval"] = Compose([CirFakeTupleBatch()])
+    network.eval()
+    criterion = initialize_criterion(
+        {"loss": "contrastive", "margin": 0.7, "eps": 1e-6})
+
+    rng = np.random.RandomState(3)
+    images = [[rng.rand(96 + 8 * j, 96, 3).astype(np.float32)
+               for j in range(3)] for _ in range(2)]
+    targets = [np.array([-1.0, 1.0, 0.0], np.float32)] * 2
+
+    # wrapper path (per-image applies through FakeBatch)
+    flat_targets = np.concatenate([t.reshape(-1) for t in targets])
+    wrapper_loss = float(np.asarray(criterion(network(images),
+                                              flat_targets)))
+
+    fn = get_eval_loss_fn(network, criterion)
+    assert fn is not None
+    batch, valid, tgt, n = prepare_batch(images, targets)
+    net_vars = {k: v for k, v in network.model.variables.items()
+                if k != "params"}
+    batched_loss = float(np.asarray(fn(network.model.params, net_vars,
+                                       batch, valid, tgt)))
+    np.testing.assert_allclose(batched_loss, wrapper_loss, rtol=1e-5)
+
+    # non-fusable wrappers refuse (fall back to the wrapper path)
+    from mdir_tpu.learning.wrappers import ReflectPadMakeDivisible
+    network.wrappers["eval"] = Compose([ReflectPadMakeDivisible(32)])
+    assert get_eval_loss_fn(network, criterion) is None
