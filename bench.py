@@ -537,9 +537,12 @@ def main():
     # headline resident rate runs the PRODUCTION dtype (bf16-guarded on
     # the chip since round 3); f32 stays as the cross-check variant
     headline_vecs = None
-    if os.environ.get("BENCH_RESIDENT", "1") != "0":
-        resident_args = _resident_args(model, mean_std, max_batch, shapes[0],
-                                       tuple(scales))
+    run_resident = os.environ.get("BENCH_RESIDENT", "1") != "0"
+    run_variants = os.environ.get("BENCH_VARIANTS", "1") != "0"
+    resident_args = _resident_args(model, mean_std, max_batch, shapes[0],
+                                   tuple(scales)) \
+        if (run_resident or run_variants) else None
+    if run_resident:
         resident, tflops, headline_vecs = _measure_resident(
             model, resident_args, compute_dtype=compute_dtype)
         result["device_resident_imgs_per_sec"] = round(resident, 1)
@@ -551,13 +554,13 @@ def main():
             result["mfu_vs_bf16_peak"] = round(
                 tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 3)
 
-    if os.environ.get("BENCH_VARIANTS", "1") != "0":
+    if run_variants:
         f32_rate, f32_tflops, f32_vecs = _measure_resident(
             model, resident_args, compute_dtype=None)
         result["f32_device_resident_imgs_per_sec"] = round(f32_rate, 1)
         if f32_tflops:
             result["f32_device_tflops"] = round(f32_tflops, 1)
-        if compute_dtype is not None:
+        if compute_dtype is not None and headline_vecs is not None:
             cos = (f32_vecs * headline_vecs).sum(axis=1) / (
                 np.linalg.norm(f32_vecs, axis=1)
                 * np.linalg.norm(headline_vecs, axis=1) + 1e-12)

@@ -111,7 +111,6 @@ class TrainStep:
 
     def __init__(self, network, criterion, batch_average, mesh=None,
                  device_chain=None, compute_dtype="auto"):
-        from ..models import _accepts_train
         from ..ops.dtypes import guard_decision, resolve_compute_dtype
 
         self.network = network
@@ -334,11 +333,21 @@ def get_eval_loss_fn(network, criterion):
         return None
     key = (id(model.module), id(criterion))
     if key not in _EVAL_LOSS_CACHE:
+        # Capture only the weight-free module STRUCTURE (flax modules hold
+        # no arrays) and the criterion — never the Model wrapper, whose
+        # .variables tree would otherwise stay pinned in this cache for the
+        # life of the process. All array state arrives as traced arguments.
+        module = model.module
+        is_descriptor = bool(getattr(model, "is_descriptor_model", False))
+
         def loss_fn(params, net_vars, batch, valid_hw, targets):
-            out, _ = _apply_model(model, params, batch, valid_hw, False,
-                                  None, extra_vars=net_vars)
+            variables = _merge_params(net_vars, params)
+            if _accepts_train(module):
+                out = module.apply(variables, batch, train=False)
+            else:
+                out = module.apply(variables, batch, valid_hw=valid_hw)
             out = out.astype(jnp.float32)
-            if getattr(model, "is_descriptor_model", False):
+            if is_descriptor:
                 out = out.T  # criterion expects D x N columns
             return criterion(out, targets)
 

@@ -16,10 +16,14 @@ Selection surface (first match wins):
 * ``auto`` — bf16 + first-chunk guard on accelerators, f32 on CPU.
 """
 import os
+import weakref
 
 import numpy as np
 
-#: per-process guard decisions, keyed by id(module): True = bf16 validated
+#: per-process guard decisions, keyed by (kind, id(module)): True = bf16
+#: validated. Entries are evicted when the module is garbage-collected
+#: (weakref.finalize below) so a recycled object address can never inherit
+#: an unrelated module's verdict.
 _GUARD_DECISIONS = {}
 
 
@@ -83,7 +87,14 @@ def guard_decision(module, kind="extract"):
 
 
 def record_guard_decision(module, ok, kind="extract"):
-    _GUARD_DECISIONS[(kind, id(module))] = bool(ok)
+    key = (kind, id(module))
+    fresh = key not in _GUARD_DECISIONS
+    _GUARD_DECISIONS[key] = bool(ok)
+    if fresh:
+        try:
+            weakref.finalize(module, _GUARD_DECISIONS.pop, key, None)
+        except TypeError:
+            pass  # un-weakref-able module type: entry persists for the run
 
 
 def cosine_rows_ok(fast, exact, min_cosine=None):

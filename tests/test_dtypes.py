@@ -220,3 +220,20 @@ def test_head_dtype_seam_forces_f32_descriptors(rng):
         model.variables)
     out = module.apply(variables, batch, valid_hw=None)
     assert out.dtype == jnp.float32
+
+
+def test_guard_decision_evicted_on_module_gc():
+    """A guard verdict must die with its module: CPython recycles object
+    addresses, so an id-keyed entry surviving the module would let an
+    unrelated new module silently inherit (or be denied) bf16 without its
+    own first-chunk cross-check."""
+    import gc
+
+    model = _model()
+    module = model.module
+    dtype_policy.record_guard_decision(module, True)
+    key = ("extract", id(module))
+    assert dtype_policy._GUARD_DECISIONS.get(key) is True
+    del model, module
+    gc.collect()
+    assert key not in dtype_policy._GUARD_DECISIONS

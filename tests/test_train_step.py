@@ -239,3 +239,27 @@ def test_batched_eval_loss_equals_wrapper_path():
     from mdir_tpu.learning.wrappers import ReflectPadMakeDivisible
     network.wrappers["eval"] = Compose([ReflectPadMakeDivisible(32)])
     assert get_eval_loss_fn(network, criterion) is None
+
+
+def test_eval_loss_cache_does_not_pin_variables():
+    """The eval-loss cache captures only the weight-free module structure;
+    it must not keep the Model wrapper (and its .variables tree) alive for
+    the life of the process."""
+    import gc
+    import weakref
+
+    from mdir_tpu.learning.train_step import get_eval_loss_fn
+    from mdir_tpu.learning.wrappers import CirFakeTupleBatch, Compose
+    from mdir_tpu.optim.criteria import initialize_criterion
+
+    network = _make_network()
+    network.wrappers["eval"] = Compose([CirFakeTupleBatch()])
+    network.eval()
+    criterion = initialize_criterion(
+        {"loss": "contrastive", "margin": 0.7, "eps": 1e-6})
+    assert get_eval_loss_fn(network, criterion) is not None
+
+    model_ref = weakref.ref(network.model)
+    del network
+    gc.collect()
+    assert model_ref() is None, "eval-loss cache pins the Model wrapper"
