@@ -33,10 +33,12 @@ from ..tools.utils import indent, load_url
 from .wrappers import initialize_wrappers
 
 TRAIN, EVAL = "train", "eval"
-# compute_dtype extends the reference's runtime surface (data/wrappers/
-# frozen) so the yaml scenario system reaches the fast compute path:
-# float32 | bfloat16 | auto (bf16 + first-chunk guard on accelerators)
-_RUNTIME_KEYS = {"data", "wrappers", "frozen", "compute_dtype"}
+# compute_dtype and pallas extend the reference's runtime surface (data/
+# wrappers/frozen) so the yaml scenario system reaches the fast compute
+# paths: compute_dtype: float32 | bfloat16 | auto (bf16 + first-chunk
+# guard on accelerators); pallas: true swaps the fused Pallas GeM+L2N
+# pooling into extraction programs (MDIR_TPU_PALLAS overrides when set)
+_RUNTIME_KEYS = {"data", "wrappers", "frozen", "compute_dtype", "pallas"}
 _DATA_KEYS = {"mean_std", "transforms"}
 
 

@@ -129,8 +129,18 @@ def _load_images(images, image_size, transform, bbxs=None, workers=6):
     return list(loader)
 
 
+def _resolve_pallas(requested):
+    """Pallas pooling selection: the env var is forced (either way) when
+    set, else the network runtime section's ``pallas`` key (yaml-reachable:
+    ``network: runtime: pallas: true``), else off."""
+    env = _os.environ.get("MDIR_TPU_PALLAS")
+    if env is not None:
+        return env == "1"
+    return bool(requested)
+
+
 def _fused_extract_fn(module, scales, has_whiten, device_normalize,
-                      compute_dtype, chain=None):
+                      compute_dtype, chain=None, pallas=False):
     """One jitted program per (module, scales, whiten?, preprocess, dtype)
     doing: [uint8 -> /255 -> preprocess chain (CLAHE/colorspace) ->
     (x-mean)/std ->] per-scale exact resize -> masked trunk+pool -> p-power
@@ -157,8 +167,7 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
         chain_fn = make_bucketed_chain(chain)
         if chain.clahe_params is not None:
             chain_grid = chain.clahe_params[1]
-    if _os.environ.get("MDIR_TPU_PALLAS", "0") == "1" \
-            and getattr(module, "pooling", None) == "gem" \
+    if pallas and getattr(module, "pooling", None) == "gem" \
             and hasattr(module, "pallas_pool"):
         module = module.clone(pallas_pool=True)
 
@@ -291,14 +300,15 @@ _FUSED_CACHE = {}
 
 def _get_fused(module, scales, has_whiten, device_normalize=False,
                compute_dtype=None, chain=None, packed=False,
-               bucket_multiple=BUCKET_MULTIPLE):
+               bucket_multiple=BUCKET_MULTIPLE, pallas=None):
+    use_pallas = _resolve_pallas(pallas)
     key = (id(module), tuple(scales), has_whiten, device_normalize,
            str(compute_dtype), chain.key if chain is not None else None,
-           _os.environ.get("MDIR_TPU_PALLAS", "0"), packed, bucket_multiple)
+           use_pallas, packed, bucket_multiple)
     if key not in _FUSED_CACHE:
         fn = _fused_extract_fn(
             module, tuple(scales), has_whiten, device_normalize, compute_dtype,
-            chain=chain)
+            chain=chain, pallas=use_pallas)
         if packed:
             chain_grid = chain.clahe_params[1] if chain is not None \
                 and chain.clahe_params is not None else None
@@ -331,10 +341,12 @@ class StreamingExtractor:
     def __init__(self, model, scales=(1,), msp=1.0, whiten=None,
                  normalize_mean_std=None, compute_dtype=None,
                  bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
-                 mesh=None, device_chain=None, dtype_guard=False):
+                 mesh=None, device_chain=None, dtype_guard=False,
+                 pallas=None):
         from ..ops import dtypes as dtype_policy
 
         self.model = model
+        self._pallas = pallas
         self.scales = list(scales)
         self.msp = msp
         self.bucket_multiple = bucket_multiple
@@ -384,7 +396,8 @@ class StreamingExtractor:
         self.fused = _get_fused(model.module, self.scales, has_whiten,
                                 self.device_normalize, compute_dtype,
                                 chain=device_chain, packed=self._packed,
-                                bucket_multiple=bucket_multiple)
+                                bucket_multiple=bucket_multiple,
+                                pallas=pallas)
 
         self._f32_variables = model.variables
         variables = model.variables
@@ -540,7 +553,8 @@ class StreamingExtractor:
                                self._has_whiten, self.device_normalize,
                                None, chain=self.device_chain,
                                packed=self._packed,
-                               bucket_multiple=self.bucket_multiple)
+                               bucket_multiple=self.bucket_multiple,
+                               pallas=self._pallas)
         f32_variables = self._f32_variables
         if self.mesh is not None:
             from .mesh import replicated
@@ -716,8 +730,11 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
         from ..ops.dtypes import resolve_compute_dtype
 
         runtime_params = getattr(network, "network_params", None)
-        compute_dtype, dtype_guard = resolve_compute_dtype(
-            runtime_params.runtime if runtime_params is not None else {})
+        runtime = runtime_params.runtime if runtime_params is not None else {}
+        compute_dtype, dtype_guard = resolve_compute_dtype(runtime)
+        # Pallas pooling is yaml-reachable too (runtime: pallas: true);
+        # MDIR_TPU_PALLAS, when set, is forced either way
+        pallas = runtime.get("pallas")
 
         mean_std = _plain_normalize_chain(transform)
         chain = None
@@ -731,7 +748,8 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, normalize_mean_std=mean_std,
-                compute_dtype=compute_dtype, dtype_guard=dtype_guard)
+                compute_dtype=compute_dtype, dtype_guard=dtype_guard,
+                pallas=pallas)
         elif chain is not None:
             # photometric chain (CLAHE etc.) fused on device, uint8 ingress
             loader = _stream_images_uint8(images, image_size, bbxs,
@@ -739,12 +757,13 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, compute_dtype=compute_dtype,
-                device_chain=chain, dtype_guard=dtype_guard)
+                device_chain=chain, dtype_guard=dtype_guard, pallas=pallas)
         else:
             loader = _stream_images(images, image_size, transform, bbxs)
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
-                max_batch=batch_size, compute_dtype=compute_dtype, dtype_guard=dtype_guard)
+                max_batch=batch_size, compute_dtype=compute_dtype,
+                dtype_guard=dtype_guard, pallas=pallas)
         # stream: host decode threads run ahead of the async device chunks
         for i, arr in enumerate(loader):
             extractor.add(i, arr)

@@ -202,6 +202,55 @@ def test_pallas_pool_extraction_wiring(rng, alexnet_model, monkeypatch):
     np.testing.assert_allclose(base, fused, rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_pool_yaml_runtime_key(rng, alexnet_model, monkeypatch):
+    """``network: runtime: pallas: true`` selects the Pallas pooling program
+    from the scenario surface (no env var), with identical descriptors; a
+    set MDIR_TPU_PALLAS is forced over the yaml key either way."""
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.parallel import extract as extract_mod
+    from PIL import Image
+
+    monkeypatch.delenv("MDIR_TPU_PALLAS", raising=False)
+    model = alexnet_model
+    mean_std = [model.meta["mean"], model.meta["std"]]
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+    paths = []
+    for i in range(2):
+        arr = (rng.rand(64, 88, 3) * 255).astype(np.uint8)
+        import tempfile, os
+        fd, p = tempfile.mkstemp(suffix=".png")
+        os.close(fd)
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+
+    def net(runtime_extra):
+        runtime = {"wrappers": {"train": None,
+                                "eval": {"0_cirmultiscale": {"scales": True}}}}
+        runtime.update(runtime_extra)
+        return CirNetwork(model, CirNetwork.NetworkParams(
+            model={}, runtime=runtime), frozen=True)
+
+    base = extract_mod.extract_vectors_network(net({}), paths, 96, transform)
+    extract_mod._FUSED_CACHE.clear()
+    fused = extract_mod.extract_vectors_network(net({"pallas": True}), paths,
+                                                96, transform)
+    np.testing.assert_allclose(base, fused, rtol=1e-5, atol=1e-6)
+    pallas_keys = [k for k in extract_mod._FUSED_CACHE
+                   if k[0] == id(model.module) and k[6] is True]
+    assert pallas_keys, "yaml pallas key did not reach program selection"
+
+    # env var forces OFF over the yaml key
+    extract_mod._FUSED_CACHE.clear()
+    monkeypatch.setenv("MDIR_TPU_PALLAS", "0")
+    extract_mod.extract_vectors_network(net({"pallas": True}), paths, 96,
+                                        transform)
+    assert not [k for k in extract_mod._FUSED_CACHE if k[6] is True]
+    for p in paths:
+        os.unlink(p)
+
+
 def _wrapped(model, wrappers):
     return CirNetwork(
         model, CirNetwork.NetworkParams(model={}, runtime={"wrappers": {
