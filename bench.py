@@ -263,6 +263,40 @@ def _measure_train_step(model, compute_dtype="auto", reps=3):
             step.compute_dtype or "float32")
 
 
+def _measure_unet_resident(reps=4, batch=8, hw=(512, 768)):
+    """Device-resident forward rate of the p2p U-Net translation family
+    (the eval_composition.yml workload's first stage — reference
+    mdir/components/model/unet.py). One jitted program at a
+    composition-typical shape (256-divisible: 8 stride-2 stages)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdir_tpu.models import initialize_model
+
+    model = initialize_model({"architecture": "p2p_unet",
+                              "in_channels": 3, "out_channels": 3})
+    module, variables = model.module, model.variables
+    fwd = jax.jit(lambda v, x: module.apply(v, x, train=False))
+    x = jnp.asarray(np.random.RandomState(5).rand(batch, *hw, 3),
+                    jnp.float32)
+    flops = None
+    try:
+        cost = fwd.lower(variables, x).compile().cost_analysis()
+        if cost:
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    _sync(fwd(variables, x))  # compile + warm
+    start = time.time()
+    outs = [fwd(variables, x) for _ in range(reps)]
+    np.asarray(outs[-1])
+    elapsed = time.time() - start
+    rate = reps * batch / elapsed
+    tflops = (flops * reps / elapsed / 1e12) if flops else None
+    return rate, tflops
+
+
 def _measure_mining(model, mean_std, compute_dtype, dtype_guard,
                     n_images=None, max_batch=16):
     """Hard-negative-mining extraction rate: the reference's dominant
@@ -636,6 +670,16 @@ def main():
                 max_batch=max_batch), 1)
         except Exception as exc:
             result["mining_error"] = str(exc)[:200]
+
+        # second model family: the composition scenario's U-Net translator
+        if os.environ.get("BENCH_UNET", "1") != "0":
+            try:
+                unet_rate, unet_tflops = _measure_unet_resident()
+                result["unet_resident_imgs_per_sec"] = round(unet_rate, 1)
+                if unet_tflops:
+                    result["unet_tflops"] = round(unet_tflops, 1)
+            except Exception as exc:
+                result["unet_error"] = str(exc)[:200]
 
     print(json.dumps(result))
     return 0

@@ -108,7 +108,14 @@ def _make_unet(cls):
             params["hidden"] = tuple(hidden)
         module = cls(in_channels=in_channels, out_channels=out_channels, **params)
         meta = {"in_channels": in_channels, "out_channels": out_channels}
-        return Model(module, meta).init(jax.random.PRNGKey(0))
+        # the init dummy must survive the net's downsampling chain: the p2p
+        # family runs nested_levels+1 stride-2 convs (the default
+        # nested_levels=7 therefore needs a 256px dummy — param shapes are
+        # resolution-independent, so any valid size initializes identically)
+        nested = getattr(module, "nested_levels", None)
+        sample = 64 if nested is None else max(64, 2 ** (int(nested) + 1))
+        return Model(module, meta).init(jax.random.PRNGKey(0),
+                                        sample_hw=(sample, sample))
     return factory
 
 

@@ -227,3 +227,14 @@ def test_gem_p_parameter_path():
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     assert "p" in variables["params"]["pool"]
     assert float(variables["params"]["pool"]["p"][0]) == 3.0
+
+
+def test_default_p2p_unet_initializes():
+    """The default p2p_unet config (nested_levels=7, 8 stride-2 stages) must
+    build through the factory: the init dummy is sized to survive the
+    downsampling chain (a fixed 64px dummy used to zero out at depth 6)."""
+    model = initialize_model({"architecture": "p2p_unet", "in_channels": 3,
+                              "out_channels": 3})
+    assert model.variables is not None
+    leaves = jax.tree_util.tree_leaves(model.variables)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
