@@ -238,3 +238,39 @@ def test_default_p2p_unet_initializes():
     assert model.variables is not None
     leaves = jax.tree_util.tree_leaves(model.variables)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_model_registry_all_labels_initialize():
+    """Every MODEL_LABELS entry must build with a minimal/default config.
+    flax init traces the full forward, so this catches depth/shape crashes
+    across the whole registry (the default-depth p2p family was broken by
+    an undersized init dummy until round 3); cirnet_branched had no test
+    coverage at all before this."""
+    from mdir_tpu.models import MODEL_LABELS
+
+    minimal = {
+        "identity": {},
+        # the reference's residual pixel mapper adds x[:, 0:2] (2-channel
+        # chroma residual, autoencoder.py:65) — out_channels=2 is its contract
+        "pixelconv_res": {"in_channels": 3, "out_channels": 2},
+        "cirnet": {"cir_architecture": "alexnet", "local_whitening": False,
+                   "pooling": "gem", "regional": False, "whitening": False,
+                   "pretrained": False},
+        "cirnet_branched": {
+            "cir_architecture": "alexnet", "pooling": "gem",
+            "whitening": False, "pretrained": False,
+            "channels": {
+                "merge": {"layer": 1, "aggregation": "sum"},
+                "branches": {
+                    "0_rgb": {"in": 3, "init": "clone", "weight": 1.0},
+                    "1_aux": {"in": 1, "init": "sum", "weight": 0.5},
+                },
+            },
+        },
+    }
+    for label in sorted(MODEL_LABELS):
+        params = dict(minimal.get(label, {"in_channels": 3,
+                                          "out_channels": 3}))
+        params["architecture"] = label
+        model = initialize_model(params)
+        assert model.variables is not None or label == "identity", label
