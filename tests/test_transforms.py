@@ -149,3 +149,50 @@ def test_nan_check(img):
 def test_stack_batch(img):
     out = T.StackBatch()(img, img)[0]
     assert out.shape == (40, 50, 6)
+
+
+def test_transforms_dsl_all_keys_constructible(img):
+    """Every TRANSFORMS DSL key parses through initialize_transforms with a
+    representative argument string and runs on an image — catches
+    factory arg-wiring crashes across the whole registry (same insurance
+    the model-registry sweep provides; reference DSL:
+    mdir/components/data/transform/__init__.py)."""
+    from PIL import Image
+
+    dsl_args = {
+        "normalize": "",            # mean_std injected by the initializer
+        "random_crop": ":8",
+        "center_crop": ":8",
+        "downscale": ":2",
+        "scalecrop": ":50_40",
+        "gaussian_noise": ":0.01",
+        "add_const": ":0.5",
+        "tospace": ":lab",
+        "np_invert_chan": ":0",
+        "np_chanselect": ":0:2",
+        "np_chanclone": ":0:2",
+        "add_clahe_fromrgb": ":2:8",
+        "apply_clahe": ":2:lab:8",
+        "create_clahed": ":2:lab:8",
+        "replace_histogram": ":f3d_lab:append",
+        "match_histogram": ":f3d_lab",
+        "gamma_equalize": ":0.5",
+        "pil2np": "",
+    }
+    pil_first = {"pil2np"}
+    uint8_like = (img * 255).astype(np.uint8)
+    for key in T.TRANSFORMS:
+        if key == "add_edgesdollar_fromrgb":
+            continue  # gated on an external edges model artifact
+        dsl = key + dsl_args.get(key, "")
+        compose = T.initialize_transforms(dsl, [[0.5] * 3, [0.5] * 3])
+        if key in pil_first:
+            inp = Image.fromarray(uint8_like)
+        elif key == "totensor":
+            inp = img
+        elif key == "stackbatch":
+            inp = img
+        else:
+            inp = img
+        out = compose(inp)
+        assert out is not None, key
