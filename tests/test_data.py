@@ -100,3 +100,81 @@ def test_staged_artifact_hook(tmp_path, monkeypatch):
 
     with _pytest.raises(ValueError):
         load_url("http://example.invalid/models/" + bad)
+
+
+def _tuple_fixture(tmp_path, n_rows=4, tuple_len=3):
+    from PIL import Image
+
+    img_dir = tmp_path / "ims"
+    img_dir.mkdir()
+    rng = np.random.RandomState(2)
+    rows = []
+    for i in range(n_rows):
+        row = []
+        for j in range(tuple_len):
+            name = "t%d_%d.jpg" % (i, j)
+            Image.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)).save(
+                img_dir / name)
+            row.append(name)
+        rows.append(row)
+    tsv = tmp_path / "tuples.tsv"
+    with open(tsv, "w") as handle:
+        handle.write("pair\n")
+        for row in rows:
+            handle.write(json.dumps(row) + "\n")
+    return str(tsv), str(img_dir)
+
+
+def test_random_image_tuple_idx_dsl(tmp_path):
+    """RandomImageTupleDataset idx DSL (reference tuple_datasets.py:22-53):
+    ints are fixed positions (negative wraps), 'any' draws uniformly,
+    'different' excludes previously drawn indices within the tuple."""
+    from mdir_tpu.data.datasets import RandomImageTupleDataset
+
+    tsv, img_dir = _tuple_fixture(tmp_path)
+    ds = RandomImageTupleDataset(
+        {}, None, dataset=tsv, data_key="pair", image_dir=img_dir,
+        idx="0_-1_different")
+    assert ds.idx == [0, -1, "different"]
+    assert len(ds) == 4
+
+    ds.prepare_epoch(None)
+    for row, picks in zip(ds.image_list, ds.epoch_images):
+        assert picks[0] == row[0]          # fixed first
+        assert picks[1] == row[-1]         # negative wraps to last
+        assert picks[2] == row[1]          # 'different' must pick the middle
+    imgs = ds[0]
+    assert len(imgs) == 3 and all(im.size == (8, 8) for im in imgs)
+
+    # 'any' stays in range over many epochs
+    ds_any = RandomImageTupleDataset(
+        {}, None, dataset=tsv, data_key="pair", image_dir=img_dir, idx="any")
+    seen = set()
+    np.random.seed(0)
+    for _ in range(20):
+        ds_any.prepare_epoch(None)
+        seen.update(p[0] for p in ds_any.epoch_images)
+    assert seen <= {p for row in ds_any.image_list for p in row}
+    assert len(seen) > 4  # actually random across epochs
+
+    # get_idx semantics directly
+    assert RandomImageTupleDataset.get_idx(-2, 3, [], None) == 1
+    assert RandomImageTupleDataset.get_idx(
+        "different", 3, [0, 2], lambda n: n - 1) == 1
+
+
+def test_pregenerated_tuples_seed0_deterministic(tmp_path):
+    """PregeneratedImageTupleDataset freezes picks with seed 0 at init —
+    two instances agree (resume determinism, reference :79-89)."""
+    from mdir_tpu.data.datasets import PregeneratedImageTupleDataset
+
+    tsv, img_dir = _tuple_fixture(tmp_path)
+    a = PregeneratedImageTupleDataset(
+        {}, None, dataset=tsv, data_key="pair", image_dir=img_dir,
+        idx="any_different")
+    b = PregeneratedImageTupleDataset(
+        {}, None, dataset=tsv, data_key="pair", image_dir=img_dir,
+        idx="any_different")
+    assert a.epoch_images == b.epoch_images
+    a.prepare_epoch(None)  # no-op: picks stay frozen
+    assert a.epoch_images == b.epoch_images
