@@ -142,3 +142,32 @@ def test_scheduler_resume():
     resumed = schedulers.GammaScheduler(opt2, last_epoch=2, gamma=0.9)
     np.testing.assert_allclose(opt2.learning_rates["default"], lr_after_3,
                                rtol=1e-6)
+
+
+def test_scheduler_set_composition(rng):
+    """The 'set' composition drives one base scheduler per sub-optimizer of
+    an alternation (reference scheduler/__init__.py); each sub-net's lr
+    factor follows its own params."""
+    from mdir_tpu.optim.schedulers import initialize_scheduler
+
+    params_a, params_b = _flat_params(1.0), _flat_params(2.0)
+    opt_a = optimizers.init_sgd(_net_parameters(params_a), lr=0.1,
+                                momentum=0, weight_decay=0)
+    opt_b = optimizers.init_sgd(_net_parameters(params_b), lr=0.1,
+                                momentum=0, weight_decay=0)
+    opts = {"a": opt_a, "b": opt_b}
+
+    sched = initialize_scheduler(
+        opts,
+        {"composition": {"type": "set"},
+         "a": {"algorithm": "gamma", "gamma": 0.5},
+         "b": {"algorithm": "const"}},
+        nepochs=4)
+    for step in range(3):
+        sched.step()
+    def lr_of(opt):
+        sub = next(iter(opt.state.inner_states.values()))
+        return float(sub.inner_state.hyperparams["learning_rate"])
+
+    assert lr_of(opt_a) == pytest.approx(0.1 * 0.5 ** 3)
+    assert lr_of(opt_b) == pytest.approx(0.1)
