@@ -263,3 +263,23 @@ def test_tokyo_old_protocol_gnd_pkl(data_root, checkpoint_and_whitening):
     assert key in metadata["eval"], metadata["eval"].keys()
     value = metadata["eval"][key]
     assert np.isfinite(value) and 0.0 <= value <= 1.0
+
+
+def test_eval_cli_shortcut_scenarios_parse():
+    """Each CLI shortcut (test/clahe/composition) resolves to eval.yml + its
+    overlay; the merged scenarios must carry the validate-stage key set and
+    the published artifact URLs (reference eval.py usage block)."""
+    import yaml
+
+    from mdir_tpu.config import dict_deep_overlay
+
+    here = os.path.join(os.path.dirname(__file__), "..", "examples", "iccv19")
+    for shortcut in ("test", "clahe", "composition"):
+        scenario = {}
+        for name in ("eval.yml", "eval_%s.yml" % shortcut):
+            with open(os.path.join(here, name)) as handle:
+                scenario = dict_deep_overlay(scenario, yaml.safe_load(handle))
+        assert scenario.keys() == {"network", "validation", "data"}, shortcut
+        assert str(scenario["network"]["path"]).startswith("http"), shortcut
+        assert {"roxford5k", "rparis6k", "247tokyo1k"} \
+            <= set(scenario["validation"].keys()), shortcut
