@@ -794,13 +794,19 @@ def _identity_grid(n):
     return idx, idx, np.zeros(n, np.float32)
 
 
-def _composed_fused_fn(translator, embedder, device_normalize):
+def _composed_fused_fn(translator, embedder, device_normalize,
+                       compute_dtype=None):
     """One program per (scale, raw-bucket, padded-shape): exact scale-resize +
     replicate-pad (one composed gather), batched translator forward, un-pad
     shift, masked embedder. Replicates the reference composition exactly:
     multiscale resize of the raw input, the translator's
     reflectpad-to-divisible wrapper (replicate + centered crop), then the
     embedder at the native scaled size (zero conv padding == masked bucket).
+
+    ``compute_dtype='bfloat16'`` runs translator + embedder on the MXU's
+    native dtype (pre-cast variable trees, bf16 activations; descriptors
+    promote back to f32 at the msp power) — guarded by the same first-chunk
+    f32 cross-check as the single-net path.
     """
     from ..models import _accepts_train
     from ..models.trunks import apply_valid_mask
@@ -813,6 +819,8 @@ def _composed_fused_fn(translator, embedder, device_normalize):
         if device_normalize:
             batch = batch.astype(jnp.float32) / 255.0
             batch = (batch - mean) / std
+        if compute_dtype is not None:
+            batch = batch.astype(compute_dtype)
         # packed (B, P, 4) f32 per axis: [idx0, idx1, weight, unpad-shift]
         y0 = ypack[..., 0].astype(jnp.int32)
         y1 = ypack[..., 1].astype(jnp.int32)
@@ -834,7 +842,7 @@ def _composed_fused_fn(translator, embedder, device_normalize):
         t0 = jax.vmap(_resize_one)(t_out, ys, ys, zero_y, xs, xs, zero_x)
         t0 = apply_valid_mask(t0, valid_scaled)
         vecs = e_module.apply(e_vars, t0, valid_hw=valid_scaled)  # (B, D)
-        return vecs ** msp
+        return vecs.astype(jnp.float32) ** msp
 
     return jax.jit(fn)
 
@@ -842,11 +850,13 @@ def _composed_fused_fn(translator, embedder, device_normalize):
 _COMPOSED_CACHE = {}
 
 
-def _get_composed(translator, embedder, device_normalize):
-    key = (id(translator.module), id(embedder.module), device_normalize)
+def _get_composed(translator, embedder, device_normalize, compute_dtype=None):
+    key = (id(translator.module), id(embedder.module), device_normalize,
+           str(compute_dtype))
     if key not in _COMPOSED_CACHE:
-        _COMPOSED_CACHE[key] = _composed_fused_fn(translator, embedder,
-                                                  device_normalize)
+        _COMPOSED_CACHE[key] = _composed_fused_fn(
+            translator, embedder, device_normalize,
+            compute_dtype=compute_dtype)
     return _COMPOSED_CACHE[key]
 
 
@@ -885,8 +895,39 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
         mean = std = jnp.zeros((0,), jnp.float32)
         host_dtype = np.float32
 
-    fused = _get_composed(first.model, last.model, device_normalize)
-    t_vars, e_vars = first.model.variables, last.model.variables
+    # bf16 compute for the composition rides the tail's runtime policy
+    # (yaml: the embedder subnet's runtime compute_dtype, or auto on
+    # accelerators) with the same first-chunk f32 cross-check and fallback
+    # as the single-net path; the verdict caches per embedder module under
+    # its own kind so it never aliases the single-path decision
+    from ..ops import dtypes as dtype_policy
+
+    runtime = last.network_params.runtime \
+        if getattr(last, "network_params", None) is not None else {}
+    compute_dtype, dtype_guard = dtype_policy.resolve_compute_dtype(runtime)
+    guard_pending = False
+    if compute_dtype is not None and dtype_guard:
+        decision = dtype_policy.guard_decision(model.module, kind="composed")
+        if decision is False:
+            compute_dtype = None
+        elif decision is None:
+            guard_pending = True
+
+    t_vars_f32 = first.model.variables
+    e_vars_f32 = last.model.variables
+
+    def _cast_tree(tree):
+        return jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+
+    state = {
+        "fused": _get_composed(first.model, last.model, device_normalize,
+                               compute_dtype),
+        "t_vars": _cast_tree(t_vars_f32) if compute_dtype else t_vars_f32,
+        "e_vars": _cast_tree(e_vars_f32) if compute_dtype else e_vars_f32,
+        "guard_pending": guard_pending,
+    }
 
     def padded_shape(sh, sw):
         ph = -(-sh // divisor) * divisor
@@ -900,9 +941,24 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
     results = []
 
     def launch(indices, batch, valid, ypack, xpack):
-        vecs = fused(t_vars, e_vars, jnp.asarray(batch), jnp.asarray(valid),
-                     jnp.asarray(ypack), jnp.asarray(xpack),
-                     mean, std, jnp.float32(msp))
+        args = (jnp.asarray(batch), jnp.asarray(valid), jnp.asarray(ypack),
+                jnp.asarray(xpack), mean, std, jnp.float32(msp))
+        vecs = state["fused"](state["t_vars"], state["e_vars"], *args)
+        if state["guard_pending"]:
+            # first-chunk f32 cross-check (launches run serially on the
+            # uplink thread, so later chunks see the verdict)
+            state["guard_pending"] = False
+            f32_fused = _get_composed(first.model, last.model,
+                                      device_normalize, None)
+            exact = f32_fused(t_vars_f32, e_vars_f32, *args)
+            ok = dtype_policy.cosine_rows_ok(np.asarray(vecs),
+                                             np.asarray(exact))
+            dtype_policy.record_guard_decision(model.module, ok,
+                                               kind="composed")
+            if not ok:
+                state["fused"], state["t_vars"], state["e_vars"] = \
+                    f32_fused, t_vars_f32, e_vars_f32
+                vecs = exact
         results.append((indices, vecs))
 
     uplink = _Uplink(launch)

@@ -230,3 +230,58 @@ def test_composed_fused_extraction_equals_wrapper_path(composed_checkpoint, rng,
     fast = extract_vectors_composed(network, paths, 128, transform,
                                     max_batch=2)
     np.testing.assert_allclose(ref, fast, rtol=1e-4, atol=1e-5)
+
+
+def test_composed_bf16_policy_and_guard(composed_checkpoint, rng, tmp_path,
+                                        monkeypatch):
+    """The composed (translator -> embedder) extractor honors the compute
+    dtype policy: forced bf16 stays descriptor-close to f32, and a guard
+    rejection falls back to the exact f32 program (verdict cached under the
+    'composed' kind)."""
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning import load_network
+    from mdir_tpu.ops import dtypes as dtype_policy
+    from mdir_tpu.parallel.extract import extract_vectors_composed
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network(
+        {"path": str(ckpt_dir),
+         "runtime": {"wrappers": {
+             "train": None,
+             "eval": {"0_cirmultiscale": {"scales": False}}}}}).eval()
+
+    mean_std = [[0.5] * 3, [0.5] * 3]
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+    paths = []
+    for i in range(2):
+        p = tmp_path / ("b%d.jpg" % i)
+        Image.fromarray((rng.rand(96, 96, 3) * 255).astype(np.uint8)).save(
+            p, quality=95)
+        paths.append(str(p))
+
+    f32 = extract_vectors_composed(network, paths, 96, transform, max_batch=2)
+
+    # forced bf16 (no guard): descriptors stay close after L2 normalization
+    monkeypatch.setenv("MDIR_TPU_COMPUTE_DTYPE", "bfloat16")
+    bf16 = extract_vectors_composed(network, paths, 96, transform,
+                                    max_batch=2)
+    cos = (f32 * bf16).sum(axis=0) / (
+        np.linalg.norm(f32, axis=0) * np.linalg.norm(bf16, axis=0))
+    assert (cos > 0.99).all(), cos
+    monkeypatch.delenv("MDIR_TPU_COMPUTE_DTYPE")
+
+    # auto policy + faked accelerator + failing guard: ships exact f32 and
+    # caches the rejection under the composed kind
+    module = network.model.module
+    dtype_policy._GUARD_DECISIONS.pop(("composed", id(module)), None)
+    monkeypatch.setattr(dtype_policy, "on_accelerator", lambda: True)
+    monkeypatch.setattr(dtype_policy, "cosine_rows_ok",
+                        lambda *a, **k: False)
+    guarded = extract_vectors_composed(network, paths, 96, transform,
+                                       max_batch=2)
+    assert dtype_policy.guard_decision(module, kind="composed") is False
+    np.testing.assert_array_equal(f32, guarded)
+    dtype_policy._GUARD_DECISIONS.pop(("composed", id(module)), None)
