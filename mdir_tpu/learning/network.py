@@ -338,12 +338,19 @@ def _nest_substates(flat, hierarchy, name):
 
 def _route_runtime_overrides(runtime, sequence):
     """Wrapper overrides go to the last subnet, data defaults to the first
-    (mirrors how the composition exposes them)."""
+    (mirrors how the composition exposes them); the fast-path extensions
+    (compute_dtype/pallas) go to the last subnet — the embedder, whose
+    runtime the composed extractor consults for its dtype policy."""
     routed = {name: None for name in sequence}
     if runtime and "wrappers" in runtime:
         routed[sequence[-1]] = {"wrappers": runtime.pop("wrappers")}
     if runtime and "data" in runtime:
         routed[sequence[0]] = {"data": runtime.pop("data")}
+    for key in ("compute_dtype", "pallas"):
+        if runtime and key in runtime:
+            tail = routed[sequence[-1]] or {}
+            tail[key] = runtime.pop(key)
+            routed[sequence[-1]] = tail
     assert not runtime, runtime
     return routed
 

@@ -285,3 +285,19 @@ def test_composed_bf16_policy_and_guard(composed_checkpoint, rng, tmp_path,
     assert dtype_policy.guard_decision(module, kind="composed") is False
     np.testing.assert_array_equal(f32, guarded)
     dtype_policy._GUARD_DECISIONS.pop(("composed", id(module)), None)
+
+
+def test_sequential_runtime_routes_fast_path_keys(composed_checkpoint):
+    """Scenario-level compute_dtype/pallas on a composition route to the
+    tail (embedder) subnet's runtime, where the composed extractor reads
+    its dtype policy."""
+    from mdir_tpu.learning import load_network
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network(
+        {"path": str(ckpt_dir),
+         "runtime": {"wrappers": {"train": None, "eval": ""},
+                     "compute_dtype": "float32", "pallas": True}}).eval()
+    tail = network.networks[network.sequence[-1]]
+    assert tail.network_params.runtime["compute_dtype"] == "float32"
+    assert tail.network_params.runtime["pallas"] is True
