@@ -51,25 +51,39 @@ def batched_resize(batch, y0, y1, wy, x0, x1, wx):
 
 
 class _Uplink:
-    """Bounded transfer/dispatch pipeline thread.
+    """Bounded transfer/dispatch pipeline thread(s).
 
     Host batch assembly (producer), host->device transfer + program launch
-    (this thread), and device compute overlap; the tunnel stays busy as long
-    as one chunk is always in flight. MDIR_TPU_UPLINK_THREAD=0 runs inline.
+    (these threads), and device compute overlap; the tunnel stays busy as
+    long as one chunk is always in flight. MDIR_TPU_UPLINK_THREAD=0 runs
+    inline. MDIR_TPU_UPLINK_STREAMS=N (default 1) runs N concurrent
+    transfer threads — pays off only if the transport multiplexes
+    concurrent puts (probe first; chunk completion order is irrelevant,
+    results are keyed by image index). ``barrier_first`` launches the very
+    first payload synchronously before any thread starts, so launch-side
+    one-shot state (the first-chunk dtype guard) resolves before
+    concurrency begins.
     """
 
-    def __init__(self, launch, depth=2):
+    def __init__(self, launch, depth=2, barrier_first=False):
         self.launch = launch
-        self.depth = depth
-        self.thread = None
+        self.streams = max(1, int(_os.environ.get("MDIR_TPU_UPLINK_STREAMS",
+                                                  "1")))
+        self.depth = max(depth, self.streams + 1)
+        self.threads = []
         self.queue = None
         self.errors = []
+        self._barrier_first = barrier_first
 
     def submit(self, payload):
         if _os.environ.get("MDIR_TPU_UPLINK_THREAD", "1") == "0":
             self.launch(*payload)
             return
-        if self.thread is None:
+        if self._barrier_first:
+            self._barrier_first = False
+            self.launch(*payload)
+            return
+        if not self.threads:
             import queue
             import threading
 
@@ -86,18 +100,23 @@ class _Uplink:
                         self.errors.append(exc)
                         return
 
-            self.thread = threading.Thread(target=_run, daemon=True,
-                                           name="mdir-tpu-uplink")
-            self.thread.start()
+            self.threads = [
+                threading.Thread(target=_run, daemon=True,
+                                 name="mdir-tpu-uplink-%d" % i)
+                for i in range(self.streams)]
+            for thread in self.threads:
+                thread.start()
         if self.errors:
             raise self.errors[0]
         self.queue.put(payload)
 
     def drain(self):
-        if self.thread is not None:
-            self.queue.put(None)
-            self.thread.join()
-            self.thread = None
+        if self.threads:
+            for _ in self.threads:
+                self.queue.put(None)
+            for thread in self.threads:
+                thread.join()
+            self.threads = []
         if self.errors:
             raise self.errors[0]
 
@@ -576,7 +595,8 @@ class StreamingExtractor:
 
     def _dispatch(self, payload):
         if self._uplink is None:
-            self._uplink = _Uplink(self._transfer_and_launch)
+            self._uplink = _Uplink(self._transfer_and_launch,
+                                   barrier_first=self._guard_pending)
         self._uplink.submit(payload)
 
     def _drain_uplink(self):
@@ -945,8 +965,9 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
                 jnp.asarray(xpack), mean, std, jnp.float32(msp))
         vecs = state["fused"](state["t_vars"], state["e_vars"], *args)
         if state["guard_pending"]:
-            # first-chunk f32 cross-check (launches run serially on the
-            # uplink thread, so later chunks see the verdict)
+            # first-chunk f32 cross-check (the uplink launches the first
+            # payload synchronously via barrier_first, so every later
+            # chunk — on any stream — sees the verdict)
             state["guard_pending"] = False
             f32_fused = _get_composed(first.model, last.model,
                                       device_normalize, None)
@@ -961,7 +982,7 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
                 vecs = exact
         results.append((indices, vecs))
 
-    uplink = _Uplink(launch)
+    uplink = _Uplink(launch, barrier_first=guard_pending)
 
     def submit(key, items):
         scale, _rb, (ph, pw) = key

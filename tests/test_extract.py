@@ -344,3 +344,35 @@ def test_uplink_surfaces_worker_errors(rng, alexnet_model):
         extractor.add(2, rng.rand(64, 64, 3).astype(np.float32))
         extractor.add(3, rng.rand(64, 64, 3).astype(np.float32))
         extractor.finish(4)
+
+
+def test_multi_stream_uplink_matches_single(rng, alexnet_model, monkeypatch):
+    """MDIR_TPU_UPLINK_STREAMS=2 runs concurrent transfer threads; chunk
+    completion order is irrelevant (results keyed by image index) and the
+    first-chunk dtype guard resolves synchronously before any concurrency
+    (barrier_first)."""
+    from mdir_tpu.ops import dtypes as dtype_policy
+    from mdir_tpu.parallel.extract import extract_vectors_batched
+
+    arrays = [rng.rand(64 + 8 * (i % 3), 80, 3).astype(np.float32)
+              for i in range(12)]
+    single = extract_vectors_batched(alexnet_model, arrays, scales=[1, 0.5],
+                                     msp=3.0, max_batch=4)
+    monkeypatch.setenv("MDIR_TPU_UPLINK_STREAMS", "2")
+    multi = extract_vectors_batched(alexnet_model, arrays, scales=[1, 0.5],
+                                    msp=3.0, max_batch=4)
+    np.testing.assert_allclose(single, multi, rtol=1e-6, atol=1e-7)
+
+    # guard + 2 streams: the rejected first chunk still ships f32 and the
+    # verdict lands before concurrent launches
+    dtype_policy._GUARD_DECISIONS.pop(("extract", id(alexnet_model.module)),
+                                      None)
+    monkeypatch.setattr(dtype_policy, "cosine_rows_ok", lambda *a, **k: False)
+    guarded = extract_vectors_batched(alexnet_model, arrays,
+                                      scales=[1, 0.5], msp=3.0, max_batch=4,
+                                      compute_dtype="bfloat16",
+                                      dtype_guard=True)
+    assert dtype_policy.guard_decision(alexnet_model.module) is False
+    np.testing.assert_allclose(single, guarded, rtol=1e-6, atol=1e-7)
+    dtype_policy._GUARD_DECISIONS.pop(("extract", id(alexnet_model.module)),
+                                      None)
