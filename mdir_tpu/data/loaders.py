@@ -15,6 +15,12 @@ def default_collate(items):
     if isinstance(items[0], (tuple, list)):
         # dataset items that are (input, target, ...) groups: collate per slot
         return tuple(default_collate(list(x)) for x in zip(*items))
+    if isinstance(items[0], dict):
+        # torch parity: dicts collate per key — the missing-image ``{}``
+        # sentinel therefore survives a batch-of-1 as ``{}`` (the infer
+        # stage's NaN-row check relies on this)
+        return {key: default_collate([d[key] for d in items])
+                for key in items[0]}
     if isinstance(items[0], np.ndarray):
         shapes = {x.shape for x in items}
         if len(shapes) == 1:

@@ -301,3 +301,56 @@ def test_sequential_runtime_routes_fast_path_keys(composed_checkpoint):
     tail = network.networks[network.sequence[-1]]
     assert tail.network_params.runtime["compute_dtype"] == "float32"
     assert tail.network_params.runtime["pallas"] is True
+
+
+def test_infer_embedding_output_with_nan_sentinel(tmp_path, rng):
+    """infer stage with the embedding output: descriptors accumulate into an
+    (N, D) matrix and a missing image (the `{}` dataset sentinel with
+    ignore_errors) becomes a NaN row (reference output.py:128-131)."""
+    from PIL import Image
+
+    from mdir_tpu.learning.checkpoints import save_state
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.stages.infer import infer
+
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    names = []
+    for i in range(3):
+        name = "img%d.jpg" % i
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            img_dir / name)
+        names.append(name)
+    names.insert(1, "missing.jpg")  # never written to disk
+
+    model_params = {"architecture": "cirnet", "cir_architecture": "alexnet",
+                    "local_whitening": False, "pooling": "gem",
+                    "regional": False, "whitening": False,
+                    "pretrained": False}
+    model = initialize_model(dict(model_params))
+    network = CirNetwork(model, CirNetwork.NetworkParams(
+        model=dict(model_params),
+        runtime={"wrappers": "",
+                 "data": {"mean_std": [model.meta["mean"], model.meta["std"]],
+                          "transforms": "pil2np | totensor | normalize"}}))
+    ckpt = tmp_path / "net.ckpt"
+    save_state(network.state_dict()["net"], ckpt)
+
+    params = {
+        "network": {"path": str(ckpt), "runtime": None},
+        "output": {"inference": {"name": "embedding"}, "debug": False},
+        "data": {"test": {
+            "mean_std": [model.meta["mean"], model.meta["std"]],
+            "transforms": "pil2np | totensor | normalize",
+            "dataset": {"name": "CirImageList", "image_dir": str(img_dir),
+                        "image_size": 64, "ignore_errors": True},
+            "loader": {"num_workers": 0}}},
+    }
+    metadata, out_names, vecs = infer(copy.deepcopy(params), (names,))
+    assert list(out_names) == names
+    assert vecs.shape == (4, 256)  # (N, D): alexnet descriptor dim
+    assert np.isnan(vecs[1]).all()  # the missing image's row
+    good = np.delete(vecs, 1, axis=0)
+    assert np.isfinite(good).all()
+    np.testing.assert_allclose(np.linalg.norm(good, axis=1), 1.0, rtol=1e-5)
