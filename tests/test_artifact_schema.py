@@ -67,3 +67,44 @@ def test_reference_schema_pth_roundtrip(tmp_path, rng):
         x = torch.tensor(img.transpose(2, 0, 1))[None]
         ref = _torch_forward(feats, torch.tensor(p_value), x).numpy().reshape(-1)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-4)
+
+
+def test_cirtorch_format_embed_stage(tmp_path, rng):
+    """The cirtorch_format embed stage over an OFFICIAL-format checkpoint
+    (cirtorch test.py schema: {"meta": ..., "state_dict": ...}) — descriptors
+    come back (N, D) L2-normalized; empty input short-circuits to skipped."""
+    from PIL import Image
+
+    from mdir_tpu.stages.cirtorch_format import embed
+
+    torch.manual_seed(1)
+    feats = _torch_alexnet_features().eval()
+    state_dict = {"features.%s" % k: v for k, v in feats.state_dict().items()}
+    state_dict["pool.p"] = torch.tensor([3.0])
+    official = {
+        "meta": {"architecture": "alexnet", "local_whitening": False,
+                 "pooling": "gem", "regional": False, "whitening": False,
+                 "mean": MEAN_STD[0], "std": MEAN_STD[1], "outputdim": 256},
+        "state_dict": state_dict,
+    }
+    pth = tmp_path / "official.pth"
+    torch.save(official, pth)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    names = []
+    for i in range(3):
+        name = "e%d.jpg" % i
+        Image.fromarray((rng.rand(96, 96, 3) * 255).astype(np.uint8)).save(
+            img_dir / name)
+        names.append(name)
+
+    meta, out_names, vecs = embed(
+        {"net": str(pth), "imgdir": str(img_dir), "image_size": 96,
+         "multiscale": False}, (names,))
+    assert list(out_names) == names
+    assert vecs.shape == (3, 256)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
+
+    skipped = embed({"net": str(pth), "imgdir": str(img_dir)}, ([],))
+    assert skipped[0] == {"status": "skipped"}
