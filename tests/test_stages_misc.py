@@ -46,3 +46,39 @@ def test_paste_pca_normalize(rng):
 
     metadata, out = whiten_stage.paste_pca_normalize({"dimensions": None}, (a, b))
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-6)
+
+
+def test_learn_lw_whitening_retry_on_non_psd(rng, monkeypatch):
+    """The Lw retry path: a non-positive-definite failure retries on a
+    shrinking random query subset (reference stages/whiten.py Lw fallback);
+    metadata records the failed trials and the subset fraction used."""
+    D, N = 6, 50
+    names = ["n%d" % i for i in range(N)]
+    values = rng.rand(N, D).astype(np.float32)
+    queries, positives = names[:20], names[20:40]
+
+    real = whiten_stage.whitenlearn
+    calls = {"n": 0}
+
+    def flaky(vecs, qidxs, pidxs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise np.linalg.LinAlgError("Matrix is not positive definite")
+        return real(vecs, qidxs, pidxs)
+
+    monkeypatch.setattr(whiten_stage, "whitenlearn", flaky)
+    np.random.seed(0)
+    metadata, lw = whiten_stage.learn_lw_whitening(
+        {}, (names, values, queries, positives))
+    assert metadata["stats"]["failed_times"] == 1
+    assert metadata["stats"]["vectors_used"] < 1.0
+    assert lw["P"].shape == (D, D)
+
+    # a non-PSD-unrelated LinAlgError re-raises immediately
+    def hard_fail(vecs, qidxs, pidxs):
+        raise np.linalg.LinAlgError("Singular matrix")
+
+    monkeypatch.setattr(whiten_stage, "whitenlearn", hard_fail)
+    with pytest.raises(np.linalg.LinAlgError):
+        whiten_stage.learn_lw_whitening(
+            {}, (names, values, queries, positives))
