@@ -178,3 +178,55 @@ def test_pregenerated_tuples_seed0_deterministic(tmp_path):
     assert a.epoch_images == b.epoch_images
     a.prepare_epoch(None)  # no-op: picks stay frozen
     assert a.epoch_images == b.epoch_images
+
+
+def test_extract_flat_tar_and_zip(tmp_path):
+    """_extract_flat flattens nested archive layouts into dst (the public
+    dataset tarballs nest jpgs under subdirectories)."""
+    import tarfile
+    import zipfile
+
+    from mdir_tpu.data.testdata import _extract_flat
+
+    src = tmp_path / "payload" / "deep" / "dir"
+    src.mkdir(parents=True)
+    (src / "a.jpg").write_bytes(b"aa")
+    (tmp_path / "payload" / "b.jpg").write_bytes(b"bb")
+
+    tar_path = tmp_path / "arch.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        tf.add(tmp_path / "payload", arcname="payload")
+    out_tar = tmp_path / "out_tar"
+    out_tar.mkdir()
+    _extract_flat(str(tar_path), str(out_tar))
+    assert sorted(p.name for p in out_tar.iterdir()) == ["a.jpg", "b.jpg"]
+
+    zip_path = tmp_path / "arch.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        zf.write(src / "a.jpg", "nested/a.jpg")
+    out_zip = tmp_path / "out_zip"
+    out_zip.mkdir()
+    _extract_flat(str(zip_path), str(out_zip))
+    assert [p.name for p in out_zip.iterdir()] == ["a.jpg"]
+
+
+def test_download_one_revisited_symlink(tmp_path):
+    """roxford5k/rparis6k reuse the classic sets' jpgs via a symlink
+    (reference download.py revisited handling); with the gnd pkl already
+    staged no network is touched."""
+    from mdir_tpu.data.testdata import _download_one
+
+    datasets_dir = tmp_path / "test"
+    old_jpgs = datasets_dir / "oxford5k" / "jpg"
+    old_jpgs.mkdir(parents=True)
+    (old_jpgs / "img.jpg").write_bytes(b"x")
+    gnd = datasets_dir / "roxford5k" / "gnd_roxford5k.pkl"
+    gnd.parent.mkdir(parents=True)
+    gnd.write_bytes(b"pkl")
+
+    _download_one(str(datasets_dir), "roxford5k")
+    link = datasets_dir / "roxford5k" / "jpg"
+    assert link.is_symlink() and (link / "img.jpg").exists()
+    # idempotent on a second call
+    _download_one(str(datasets_dir), "roxford5k")
+    assert link.is_symlink()
