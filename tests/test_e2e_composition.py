@@ -354,3 +354,52 @@ def test_infer_embedding_output_with_nan_sentinel(tmp_path, rng):
     good = np.delete(vecs, 1, axis=0)
     assert np.isfinite(good).all()
     np.testing.assert_allclose(np.linalg.norm(good, axis=1), 1.0, rtol=1e-5)
+
+
+def test_composed_extraction_with_whitening(composed_checkpoint, rng,
+                                            tmp_path):
+    """The composed fused extractor applies a cirwhiten wrapper's learned
+    projection at the end (CirtorchWhiten.postprocess), matching the
+    per-image wrapper path."""
+    import pickle
+
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning import load_network
+    from mdir_tpu.parallel.extract import (_load_images,
+                                           extract_vectors_composed)
+
+    root, ckpt_dir = composed_checkpoint
+    dim = 256
+    P = np.eye(dim) + 0.01 * np.random.RandomState(0).randn(dim, dim)
+    m = 0.01 * np.random.RandomState(1).randn(dim, 1)
+    whit_path = tmp_path / "whit.pkl"
+    with open(whit_path, "wb") as handle:
+        pickle.dump({"P": P, "m": m}, handle)
+
+    network = load_network(
+        {"path": str(ckpt_dir),
+         "runtime": {"wrappers": {
+             "train": None,
+             "eval": {"0_cirwhiten": {"whitening": str(whit_path),
+                                      "dimensions": 64},
+                      "1_cirmultiscale": {"scales": True}}}}}).eval()
+
+    mean_std = [[0.5] * 3, [0.5] * 3]
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+    paths = []
+    for i in range(2):
+        p = tmp_path / ("w%d.jpg" % i)
+        Image.fromarray((rng.rand(96, 104, 3) * 255).astype(np.uint8)).save(
+            p, quality=95)
+        paths.append(str(p))
+
+    arrays = _load_images(paths, 96, transform)
+    ref = np.stack([np.asarray(network(a)).reshape(-1) for a in arrays],
+                   axis=1)
+    fast = extract_vectors_composed(network, paths, 96, transform,
+                                    max_batch=2)
+    assert fast.shape == (64, 2)
+    np.testing.assert_allclose(ref, fast, rtol=1e-4, atol=1e-5)

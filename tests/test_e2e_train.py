@@ -164,3 +164,33 @@ def test_traindata_samples_logged(train_root, tmp_path):
     for label in ("input", "output", "target"):
         matches = [b for b in blobs if b.startswith("train_data_%s" % label)]
         assert matches, (label, blobs)
+
+
+def test_train_stage_notrain_shortcut(train_root):
+    """epochs=0: the train stage saves an off-the-shelf checkpoint (the
+    notrain role with best/last symlinks onto it, reference
+    stages/train.py) without running any epoch."""
+    import os
+
+    from mdir_tpu.stages.train import train
+
+    params = _train_params(train_root, epochs=0)
+    params["learning"]["checkpoints"]["directory"] = \
+        str(train_root / "exp_notrain")
+    metadata, = train(copy.deepcopy(params), ())
+    assert metadata == {}
+
+    ckpt_dir = train_root / "exp_notrain" / "epochs"
+    assert (ckpt_dir / "net_notrain.ckpt").exists()
+    for role in ("net_best.ckpt", "net_last.ckpt"):
+        link = ckpt_dir / role
+        assert link.is_symlink()
+        assert os.readlink(link) == "net_notrain.ckpt"
+
+    # the notrain checkpoint loads back as a working network
+    from mdir_tpu.learning import load_network
+
+    network = load_network({"path": str(ckpt_dir / "net_last.ckpt"),
+                            "runtime": None}).eval()
+    out = network(np.zeros((16, 16, 3), np.float32))
+    assert np.isfinite(np.asarray(out)).all()

@@ -376,3 +376,40 @@ def test_multi_stream_uplink_matches_single(rng, alexnet_model, monkeypatch):
     np.testing.assert_allclose(single, guarded, rtol=1e-6, atol=1e-7)
     dtype_policy._GUARD_DECISIONS.pop(("extract", id(alexnet_model.module)),
                                       None)
+
+
+def test_regional_and_local_vectors_api(rng, alexnet_model, tmp_path):
+    """cirtorch parity APIs: per-image regional (R, D) roipool descriptors
+    and local (D, H*W) channel-normalized cells."""
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.parallel.extract import (extract_local_vectors,
+                                           extract_regional_vectors)
+
+    model = alexnet_model
+    network = CirNetwork(
+        model, CirNetwork.NetworkParams(model={}, runtime={"wrappers": ""}),
+        frozen=True)
+    mean_std = [model.meta["mean"], model.meta["std"]]
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+    paths = []
+    for i in range(2):
+        p = tmp_path / ("r%d.jpg" % i)
+        Image.fromarray((rng.rand(96, 96 + 8 * i, 3) * 255).astype(
+            np.uint8)).save(p, quality=95)
+        paths.append(str(p))
+
+    regional = extract_regional_vectors(network, paths, 96, transform)
+    assert len(regional) == 2
+    for vecs in regional:
+        assert vecs.ndim == 2 and vecs.shape[1] == 256
+        np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0,
+                                   rtol=1e-4)
+
+    local = extract_local_vectors(network, paths, 96, transform)
+    for cells in local:
+        assert cells.shape[0] == 256
+        np.testing.assert_allclose(np.linalg.norm(cells, axis=0), 1.0,
+                                   rtol=1e-4)

@@ -109,3 +109,18 @@ def test_masked_pooling_equals_cropped(rng):
         native = np.asarray(fn(x))
         masked = np.asarray(fn(padded, mask=mask))
         np.testing.assert_allclose(native, masked, rtol=1e-5, atol=1e-7)
+
+
+def test_powerlaw_signed_sqrt():
+    """powerlaw: signed sqrt with eps shift (cirtorch functional.py:133-135
+    as documented — the reference's own method has an unused-self bug)."""
+    from mdir_tpu.ops.pooling import powerlaw
+
+    import jax.numpy as jnp
+
+    x = np.array([-4.0, -1.0, 0.0, 0.25, 9.0], np.float32)
+    out = np.asarray(powerlaw(jnp.asarray(x), eps=0.0))
+    np.testing.assert_allclose(out, np.sign(x) * np.sqrt(np.abs(x)),
+                               rtol=1e-6)
+    shifted = np.asarray(powerlaw(jnp.asarray(x), eps=1e-6))
+    assert np.isfinite(shifted).all()
