@@ -41,3 +41,20 @@ def test_type_mismatch_replaces():
 def test_multiway():
     out = dict_deep_overlay({"a": 1}, {"b": 2}, {"a": 3})
     assert out == {"a": 3, "b": 2}
+
+
+def test_load_scenario_overlays_files(tmp_path):
+    """load_scenario: a sequence of yaml files overlays into one dict (the
+    eval.py shortcut mechanism as a library API)."""
+    import yaml
+
+    from mdir_tpu.config import load_scenario
+
+    a = tmp_path / "a.yml"
+    b = tmp_path / "b.yml"
+    yaml.safe_dump({"network": {"path": "x"}, "data": {"k": 1}},
+                   open(a, "w"))
+    yaml.safe_dump({"data": {"k": 2, "extra": True}}, open(b, "w"))
+    scenario = load_scenario([str(a), str(b)])
+    assert scenario == {"network": {"path": "x"},
+                        "data": {"k": 2, "extra": True}}

@@ -230,3 +230,17 @@ def test_download_one_revisited_symlink(tmp_path):
     # idempotent on a second call
     _download_one(str(datasets_dir), "roxford5k")
     assert link.is_symlink()
+
+
+def test_images_from_arrays_dataset():
+    """ImagesFromArrays (cirtorch ImagesFromDataList parity): in-memory
+    arrays with an optional transform; empty input refuses."""
+    from mdir_tpu.data.datasets import ImagesFromArrays
+
+    arrays = [np.full((4, 4, 3), i, np.float32) for i in range(3)]
+    ds = ImagesFromArrays(arrays, transform=lambda img: img + 1)
+    assert len(ds) == 3
+    np.testing.assert_array_equal(ds[1], arrays[1] + 1)
+
+    with pytest.raises(RuntimeError):
+        ImagesFromArrays([])

@@ -274,3 +274,47 @@ def test_model_registry_all_labels_initialize():
         params["architecture"] = label
         model = initialize_model(params)
         assert model.variables is not None or label == "identity", label
+
+
+def test_outconv_dynint_odd_size_forward():
+    """The resize-convolution variant interpolates each skip back to its
+    exact input size, so non-power-of-two inputs flow through (DynSkipBlock;
+    reference unet.py dynamic-interpolate variant)."""
+    model = initialize_model({"architecture": "outconv_dynint_unet",
+                              "in_channels": 3, "out_channels": 3,
+                              "nested_levels": 3})
+    x = jnp.zeros((1, 100, 108, 3), jnp.float32)
+    y = model.apply(x)
+    assert y.shape == (1, 100, 108, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_branched_input_merge():
+    """cirnet_branched with merge.layer == 0: one trunk whose first conv is
+    widened to the concatenated branch channels (reference cirnet.py
+    input-merge mode)."""
+    model = initialize_model({
+        "architecture": "cirnet_branched", "cir_architecture": "alexnet",
+        "pooling": "gem", "whitening": False, "pretrained": False,
+        "channels": {
+            "merge": {"layer": 0, "aggregation": "concat"},
+            "branches": {"0_rgb": {"in": 3, "init": "clone", "weight": 1.0},
+                          "1_aux": {"in": 2, "init": "sum", "weight": 0.5}}}})
+    assert model.meta["in_channels"] == 5
+    y = model.apply(jnp.zeros((1, 64, 64, 5), jnp.float32))
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_weight_init_normal():
+    """'normal' init: N(0,1) on conv kernels AND biases (reference
+    init_weights_normal)."""
+    from mdir_tpu.models.weight_init import WEIGHT_INITIALIZATIONS
+
+    model = initialize_model({"architecture": "pixelconv_regr",
+                              "in_channels": 3, "out_channels": 3,
+                              "hidden": [64]})
+    fresh = WEIGHT_INITIALIZATIONS["normal"](jax.random.PRNGKey(0),
+                                             model.params)
+    flat = np.concatenate([np.asarray(l).ravel()
+                           for l in jax.tree_util.tree_leaves(fresh)])
+    assert abs(flat.std() - 1.0) < 0.1 and abs(flat.mean()) < 0.1

@@ -171,3 +171,40 @@ def test_scheduler_set_composition(rng):
 
     assert lr_of(opt_a) == pytest.approx(0.1 * 0.5 ** 3)
     assert lr_of(opt_b) == pytest.approx(0.1)
+
+
+def test_scheduler_set_over_alternation(rng):
+    """The 'set' composition iterates an OptimizerAlternation's sub-nets
+    (names via __iter__/__getitem__); the alternation's set_lr_factor
+    broadcast also scales every member."""
+    from mdir_tpu.optim.optimizers import OptimizerAlternation
+    from mdir_tpu.optim.schedulers import initialize_scheduler
+
+    def mk(value):
+        params = _flat_params(value)
+        return optimizers.init_sgd(_net_parameters(params), lr=0.1,
+                                   momentum=0, weight_decay=0)
+
+    alt = OptimizerAlternation({"a": mk(1.0), "b": mk(2.0)},
+                               alternate_iteration=1, order="a,b")
+    sched = initialize_scheduler(
+        alt,
+        {"composition": {"type": "set"},
+         "a": {"algorithm": "lambda", "fixed_ratio": 0.5},
+         "b": {"algorithm": "gamma", "gamma": 0.5}},
+        nepochs=4)
+
+    def lr_of(opt):
+        sub = next(iter(opt.state.inner_states.values()))
+        return float(sub.inner_state.hyperparams["learning_rate"])
+
+    sched.step()
+    sched.step()
+    # lambda: factor(2) = 1 - max(0, 3 - 2)/3; gamma: 0.5^2
+    assert lr_of(alt["a"]) == pytest.approx(0.1 * (1 - 1 / 3.0))
+    assert lr_of(alt["b"]) == pytest.approx(0.1 * 0.25)
+
+    # set_lr_factor on the alternation broadcasts to every member
+    alt.set_lr_factor(0.5)
+    assert lr_of(alt["a"]) == pytest.approx(0.05)
+    assert lr_of(alt["b"]) == pytest.approx(0.05)
