@@ -194,3 +194,51 @@ def test_train_stage_notrain_shortcut(train_root):
                             "runtime": None}).eval()
     out = network(np.zeros((16, 16, 3), np.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batch_average_false_multiplies_mean_loss(train_root):
+    """batch_average=False with a mean-reduction criterion multiplies the
+    GRADIENTS by batch size while the logged loss stays batch-averaged
+    (reference reconciliation). With one batch, one epoch, and plain SGD,
+    the parameter delta is exactly batch_size x the averaged run's."""
+    from mdir_tpu.learning.checkpoints import load_state
+    from mdir_tpu.stages.train import train
+
+    def run(batch_average):
+        params = _train_params(train_root, epochs=1)
+        exp = train_root / ("exp_ba_%s" % batch_average)
+        params["learning"]["checkpoints"]["directory"] = str(exp)
+        params["learning"]["training"]["epoch_iteration"]["batch_average"] \
+            = batch_average
+        params["learning"]["training"]["optimizer"] = {
+            "algorithm": "sgd", "lr": 1e-4, "momentum": 0,
+            "weight_decay": 0}
+        params["data"]["train"]["loader"]["batch_size"] = 8
+        metadata, = train(copy.deepcopy(params), ())
+        loss0 = metadata["metrics"]["train/learning/loss:total_avg.4"][0]
+        state = load_state(exp / "epochs" / "net_last.ckpt")
+        return loss0, state["model_state"]
+
+    import jax
+
+    loss_avg, params_avg = run(True)
+    loss_sum, params_sum = run(False)
+    # the logged loss is batch-averaged in BOTH modes (reference behavior)
+    np.testing.assert_allclose(loss_sum, loss_avg, rtol=1e-5)
+
+    # fresh init (seed 0) for the common starting point
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.models.weight_init import WEIGHT_INITIALIZATIONS
+
+    model = initialize_model({"architecture": "pixelconv_regr",
+                              "in_channels": 3, "out_channels": 3,
+                              "hidden": [8]})
+    init = WEIGHT_INITIALIZATIONS["he_normal"](jax.random.PRNGKey(0),
+                                               model.params)
+    flat = lambda tree: np.concatenate(
+        [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(tree)])
+    base = flat(init)
+    d_avg = flat(params_avg["params"]) - base
+    d_sum = flat(params_sum["params"]) - base
+    # params are f32: the delta carries ~1e-7 absolute rounding
+    np.testing.assert_allclose(d_sum, 8 * d_avg, rtol=1e-3, atol=1e-6)

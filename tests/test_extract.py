@@ -413,3 +413,19 @@ def test_regional_and_local_vectors_api(rng, alexnet_model, tmp_path):
         assert cells.shape[0] == 256
         np.testing.assert_allclose(np.linalg.norm(cells, axis=0), 1.0,
                                    rtol=1e-4)
+
+
+def test_mesh_placement_helpers():
+    """shard_batch splits the leading dim across the mesh; replicate places
+    a full copy on every device."""
+    from mdir_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh(8)
+    batch = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    sharded = shard_batch(mesh, batch)
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(sharded), batch)
+
+    tree = {"w": np.ones((4,), np.float32)}
+    rep = replicate(mesh, tree)
+    assert rep["w"].sharding.is_fully_replicated

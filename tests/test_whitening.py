@@ -54,3 +54,18 @@ def test_robust_cholesky_jitter():
     S = np.zeros((4, 4))  # singular -> needs jitter
     L = whitening.robust_cholesky(S)
     assert np.isfinite(L).all()
+
+
+def test_whitenapply_rows_matches_columns():
+    """Row-major convenience wrapper == the column-major reference apply."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.ops.whitening import whitenapply, whitenapply_rows
+
+    rng = np.random.RandomState(0)
+    vecs = rng.rand(5, 8).astype(np.float32)
+    m = rng.rand(8, 1).astype(np.float32)
+    P = rng.rand(8, 8).astype(np.float32)
+    rows = np.asarray(whitenapply_rows(vecs, m, P, dimensions=4))
+    cols = np.asarray(whitenapply(jnp.asarray(vecs.T), m, P, dimensions=4))
+    np.testing.assert_allclose(rows, cols.T, rtol=1e-6)
