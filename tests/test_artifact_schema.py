@@ -108,3 +108,31 @@ def test_cirtorch_format_embed_stage(tmp_path, rng):
 
     skipped = embed({"net": str(pth), "imgdir": str(img_dir)}, ([],))
     assert skipped[0] == {"status": "skipped"}
+
+
+def test_cirtorch_format_load_whitening(tmp_path):
+    """load_whitening reads the Lw entry embedded in an official checkpoint's
+    meta (ms/ss keyed) and optionally persists it to the whitening dir."""
+    import pickle
+
+    from mdir_tpu.stages.cirtorch_format import load_whitening
+
+    lw_ms = {"m": np.zeros((4, 1)), "P": np.eye(4)}
+    official = {"meta": {"architecture": "alexnet",
+                         "Lw": {"retrieval-SfM-120k": {"ms": lw_ms,
+                                                       "ss": None}}},
+                "state_dict": {}}
+    pth = tmp_path / "whit_net.pth"
+    torch.save(official, pth)
+
+    meta, lw = load_whitening({"net": str(pth), "whitening": "sfm120k"}, ())
+    np.testing.assert_array_equal(np.asarray(lw["P"]), np.eye(4))
+
+    out_dir = tmp_path / "whit"
+    (meta,) = load_whitening({"net": str(pth), "whitening": "sfm120k",
+                              "whitening_dir": str(out_dir)}, ())
+    files = list(out_dir.iterdir())
+    assert len(files) == 1 and files[0].suffix == ".pkl"
+    with open(files[0], "rb") as handle:
+        stored = pickle.load(handle)
+    np.testing.assert_array_equal(np.asarray(stored["P"]), np.eye(4))

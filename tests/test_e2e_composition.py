@@ -403,3 +403,25 @@ def test_composed_extraction_with_whitening(composed_checkpoint, rng,
                                     max_batch=2)
     assert fast.shape == (64, 2)
     np.testing.assert_allclose(ref, fast, rtol=1e-4, atol=1e-5)
+
+
+def test_sequential_overlay_params(composed_checkpoint):
+    """network_overlay on a composition: per-subnet runtime overlays yield a
+    FROZEN copy with new wrappers; the original network is untouched."""
+    from mdir_tpu.learning import load_network
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network({"path": str(ckpt_dir), "runtime": None}).eval()
+    base_tail_wrappers = network["embed"]
+    assert base_tail_wrappers is network.networks["embed"]  # __getitem__
+
+    overlay = network.overlay_params({
+        "translate": None,
+        "embed": {"runtime": {"wrappers": {
+            "train": None, "eval": {"0_cirmultiscale": {"scales": True}}}}},
+    })
+    assert overlay is not network and overlay.frozen
+    assert not network.frozen
+    img = np.zeros((64, 64, 3), np.float32)
+    out = np.asarray(overlay(img))
+    assert out.shape[0] == 256 and np.isfinite(out).all()

@@ -157,3 +157,55 @@ def test_tensorboard_without_tensorboardx_warns(tmp_path, monkeypatch):
         events = initialize_processor({"tensorboard": True},
                                       dataroot=str(tmp_path))
     _feed_epoch(events, 0, [1.0], score=0.1)  # disabled writer is a no-op
+
+
+def test_metadata_metric_accessor():
+    """MetadataKeeper.metric returns one series' raw values by key pair."""
+    events = initialize_processor({}, dataroot=None)
+    events.register_data(0, None, None, "train/learning/loss",
+                         {"total": 0.5}, "scalar/loss")
+    events.close_epoch()
+    series = events.metadata.metric("train/learning/loss", "total")
+    assert series == [0.5]
+
+
+def test_tools_utils_micro():
+    """indent / expect (the daan.ml assert-with-pdb helper) behavior."""
+    from mdir_tpu.tools.utils import expect, indent
+
+    assert indent("a\nb", level=2) == "a\n        b"
+    assert expect(True) is True
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="boom"):
+        expect(False, "boom")
+
+
+def test_imgtools_makegrid(tmp_path, rng):
+    """makegrid builds the [input, gnd, output] comparison grid image."""
+    from mdir_tpu.tools.imgtools import makegrid
+
+    mean_std = [[0.5] * 3, [0.5] * 3]
+    imgs = [rng.rand(16, 16, 3).astype(np.float32) for _ in range(3)]
+    grid = makegrid(imgs, 64, mean_std, "")
+    arr = np.asarray(grid)
+    assert arr.ndim == 3 and arr.shape[-1] == 3 and arr.size > 0
+
+
+def test_plots_render(tmp_path, rng):
+    """plot_distribution / plot_histogram render onto a matplotlib axis."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from mdir_tpu.tools.plots import plot_distribution, plot_histogram
+
+    centers = np.linspace(0, 1, 16)
+    hists = [(float(i), centers, rng.rand(16)) for i in range(4)]
+    fig, ax = plt.subplots()
+    plot_distribution(hists, ax)
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    plot_histogram([("h%d" % i, centers, rng.rand(16)) for i in range(3)], ax)
+    plt.close(fig)
