@@ -242,3 +242,46 @@ def test_batch_average_false_multiplies_mean_loss(train_root):
     d_sum = flat(params_sum["params"]) - base
     # params are f32: the delta carries ~1e-7 absolute rounding
     np.testing.assert_allclose(d_sum, 8 * d_avg, rtol=1e-3, atol=1e-6)
+
+
+def test_train_from_pretrained_checkpoint_with_runtime_inheritance(train_root):
+    """network.path in a TRAIN scenario fine-tunes from a stored checkpoint
+    (SingleNetwork._from_pretrained); runtime: load_from_checkpoint defers
+    to the checkpointed runtime (reference network.py inheritance)."""
+    import jax
+
+    from mdir_tpu.learning.checkpoints import load_state
+    from mdir_tpu.stages.train import train
+
+    base = _train_params(train_root, epochs=1)
+    base["learning"]["checkpoints"]["directory"] = str(
+        train_root / "exp_pre_base")
+    train(copy.deepcopy(base), ())
+    ckpt = train_root / "exp_pre_base" / "epochs" / "net_last.ckpt"
+
+    resumed = _train_params(train_root, epochs=1)
+    resumed["network"]["path"] = str(ckpt)
+    resumed["network"]["runtime"] = "load_from_checkpoint"
+    resumed["learning"]["checkpoints"]["directory"] = str(
+        train_root / "exp_pre_finetune")
+    metadata, = train(copy.deepcopy(resumed), ())
+    losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
+    assert len(losses) == 1 and np.isfinite(losses).all()
+
+    # the fine-tune run started FROM the stored weights: its first-epoch
+    # loss continues below the base run's first epoch (same data, which
+    # restarts from the init otherwise)
+    base_loss = _train_params(train_root, epochs=1)
+    stored = load_state(ckpt)
+    fres = load_state(train_root / "exp_pre_finetune" / "epochs"
+                      / "net_last.ckpt")
+    # runtime inherited verbatim from the checkpoint
+    assert fres["network_params"]["runtime"] \
+        == stored["network_params"]["runtime"]
+
+    flat = lambda tree: np.concatenate(
+        [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(tree)])
+    # fine-tuned params moved AWAY from the loaded checkpoint, but much
+    # less than a fresh init would be (continuation, not restart)
+    assert not np.allclose(flat(fres["model_state"]),
+                           flat(stored["model_state"]))
