@@ -209,3 +209,33 @@ def test_plots_render(tmp_path, rng):
     fig, ax = plt.subplots()
     plot_histogram([("h%d" % i, centers, rng.rand(16)) for i in range(3)], ax)
     plt.close(fig)
+
+
+def test_component_reprs_do_not_crash():
+    """__repr__ across networks / validations / criteria / wrappers /
+    schedulers feeds checkpoint printouts and reports — none may raise."""
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.learning.validation import initialize_validation
+    from mdir_tpu.learning.wrappers import initialize_wrappers
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.optim.criteria import initialize_criterion
+
+    model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": False,
+        "whitening": False, "pretrained": False})
+    network = CirNetwork(model, CirNetwork.NetworkParams(
+        model={}, runtime={"wrappers": {
+            "train": None,
+            "eval": {"0_cirmultiscale": {"scales": True}}}}))
+    assert "CirNetwork" in repr(network)
+    assert repr(initialize_wrappers("reflectpad_divisible:32"))
+    for loss in ("contrastive", "triplet"):
+        crit = initialize_criterion({"loss": loss, "margin": 0.7,
+                                     "eps": 1e-6} if loss == "contrastive"
+                                    else {"loss": loss, "margin": 0.1})
+        assert loss in repr(crit).lower() or repr(crit)
+    validation = initialize_validation(
+        False, data=(), params_data={}, default_criterion=None,
+        net_defaults={})
+    assert repr(validation)  # NoValidation
