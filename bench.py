@@ -108,12 +108,9 @@ def _measure_resident(model, args, compute_dtype=None, reps=4):
     scales = (1, 1.0 / math.sqrt(2), 0.5)
     variables = model.variables
     if compute_dtype is not None:
-        import jax.numpy as jnp
+        from mdir_tpu.ops.dtypes import cast_f32_tree
 
-        variables = jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-            variables)
+        variables = cast_f32_tree(variables, compute_dtype)
     fused = _get_fused(model.module, scales, False, True, compute_dtype)
 
     flops = None
@@ -165,10 +162,9 @@ def _measure_chain_resident(model, mean_std, max_batch, shape, scales,
         [(h, w)] * max_batch, (h, w), *chain.clahe_params)))
     variables = model.variables
     if compute_dtype is not None:
-        variables = jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-            variables)
+        from mdir_tpu.ops.dtypes import cast_f32_tree
+
+        variables = cast_f32_tree(variables, compute_dtype)
     fused = _get_fused(model.module, scales, False, False, compute_dtype,
                        chain=chain)
     # (variables, batch, valid, grids, clahe_aux, boxes, msp, P, m, mean, std)
@@ -290,7 +286,9 @@ def _measure_unet_resident(reps=4, batch=8, hw=(512, 768)):
     _sync(fwd(variables, x))  # compile + warm
     start = time.time()
     outs = [fwd(variables, x) for _ in range(reps)]
-    np.asarray(outs[-1])
+    # single-element host read: a full-array read would drag ~38 MB of
+    # image egress through the tunnel INTO the timed window
+    _sync(outs[-1])
     elapsed = time.time() - start
     rate = reps * batch / elapsed
     tflops = (flops * reps / elapsed / 1e12) if flops else None

@@ -18,7 +18,15 @@ def default_collate(items):
     if isinstance(items[0], dict):
         # torch parity: dicts collate per key — the missing-image ``{}``
         # sentinel therefore survives a batch-of-1 as ``{}`` (the infer
-        # stage's NaN-row check relies on this)
+        # stage's NaN-row check relies on this). A MIXED batch (sentinel
+        # next to real images) must fail loudly: collating it to ``{}``
+        # would silently drop the valid images (run sentinel datasets with
+        # batch_size 1, as the infer stage does)
+        if any(not isinstance(d, dict) or d.keys() != items[0].keys()
+               for d in items[1:]):
+            raise TypeError(
+                "cannot collate a mixed batch of dict sentinels and arrays"
+                " — missing-image sentinels need batch_size 1")
         return {key: default_collate([d[key] for d in items])
                 for key in items[0]}
     if isinstance(items[0], np.ndarray):

@@ -97,6 +97,18 @@ def record_guard_decision(module, ok, kind="extract"):
             pass  # un-weakref-able module type: entry persists for the run
 
 
+def cast_f32_tree(tree, dtype):
+    """Cast every float32 leaf of a pytree to ``dtype`` (params/batch_stats
+    pre-cast for fast-dtype programs; non-float and integer leaves pass
+    through untouched)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+
+
 def cosine_rows_ok(fast, exact, min_cosine=None):
     """Row-wise cosine acceptance between two (N, D) descriptor blocks."""
     fast = np.asarray(fast, np.float32)

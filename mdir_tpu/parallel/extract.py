@@ -98,7 +98,13 @@ class _Uplink:
                         self.launch(*item)
                     except BaseException as exc:  # surfaced in drain()
                         self.errors.append(exc)
-                        return
+                        # keep consuming (and discarding) so a producer
+                        # blocked on a full queue never deadlocks against
+                        # a dead worker; the next submit()/drain() raises
+                        while True:
+                            item = self.queue.get()
+                            if item is None:
+                                return
 
             self.threads = [
                 threading.Thread(target=_run, daemon=True,
@@ -422,10 +428,7 @@ class StreamingExtractor:
         variables = model.variables
         if compute_dtype is not None:
             # cast params once here (not per launch inside the program)
-            variables = jax.tree.map(
-                lambda a: a.astype(compute_dtype)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-                variables)
+            variables = dtype_policy.cast_f32_tree(variables, compute_dtype)
 
         if mesh is not None:
             from .mesh import batch_sharding, replicated
@@ -815,7 +818,7 @@ def _identity_grid(n):
 
 
 def _composed_fused_fn(translator, embedder, device_normalize,
-                       compute_dtype=None):
+                       compute_dtype=None, pallas=False):
     """One program per (scale, raw-bucket, padded-shape): exact scale-resize +
     replicate-pad (one composed gather), batched translator forward, un-pad
     shift, masked embedder. Replicates the reference composition exactly:
@@ -833,6 +836,9 @@ def _composed_fused_fn(translator, embedder, device_normalize,
 
     t_module = translator.module
     e_module = embedder.module
+    if pallas and getattr(e_module, "pooling", None) == "gem" \
+            and hasattr(e_module, "pallas_pool"):
+        e_module = e_module.clone(pallas_pool=True)
     t_takes_train = _accepts_train(t_module)
 
     def fn(t_vars, e_vars, batch, valid_scaled, ypack, xpack, mean, std, msp):
@@ -870,13 +876,15 @@ def _composed_fused_fn(translator, embedder, device_normalize,
 _COMPOSED_CACHE = {}
 
 
-def _get_composed(translator, embedder, device_normalize, compute_dtype=None):
+def _get_composed(translator, embedder, device_normalize, compute_dtype=None,
+                  pallas=None):
+    use_pallas = _resolve_pallas(pallas)
     key = (id(translator.module), id(embedder.module), device_normalize,
-           str(compute_dtype))
+           str(compute_dtype), use_pallas)
     if key not in _COMPOSED_CACHE:
         _COMPOSED_CACHE[key] = _composed_fused_fn(
             translator, embedder, device_normalize,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, pallas=use_pallas)
     return _COMPOSED_CACHE[key]
 
 
@@ -925,6 +933,7 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
     runtime = last.network_params.runtime \
         if getattr(last, "network_params", None) is not None else {}
     compute_dtype, dtype_guard = dtype_policy.resolve_compute_dtype(runtime)
+    pallas = runtime.get("pallas")
     guard_pending = False
     if compute_dtype is not None and dtype_guard:
         decision = dtype_policy.guard_decision(model.module, kind="composed")
@@ -937,13 +946,11 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
     e_vars_f32 = last.model.variables
 
     def _cast_tree(tree):
-        return jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+        return dtype_policy.cast_f32_tree(tree, compute_dtype)
 
     state = {
         "fused": _get_composed(first.model, last.model, device_normalize,
-                               compute_dtype),
+                               compute_dtype, pallas=pallas),
         "t_vars": _cast_tree(t_vars_f32) if compute_dtype else t_vars_f32,
         "e_vars": _cast_tree(e_vars_f32) if compute_dtype else e_vars_f32,
         "guard_pending": guard_pending,
@@ -970,7 +977,7 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
             # chunk — on any stream — sees the verdict)
             state["guard_pending"] = False
             f32_fused = _get_composed(first.model, last.model,
-                                      device_normalize, None)
+                                      device_normalize, None, pallas=pallas)
             exact = f32_fused(t_vars_f32, e_vars_f32, *args)
             ok = dtype_policy.cosine_rows_ok(np.asarray(vecs),
                                              np.asarray(exact))

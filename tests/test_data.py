@@ -244,3 +244,14 @@ def test_images_from_arrays_dataset():
 
     with pytest.raises(RuntimeError):
         ImagesFromArrays([])
+
+
+def test_collate_mixed_sentinel_batch_raises():
+    """A batch mixing the {} missing-image sentinel with real images must
+    fail loudly — silently collating to {} would drop the valid images."""
+    from mdir_tpu.data.loaders import default_collate
+
+    with pytest.raises(TypeError, match="batch_size 1"):
+        default_collate([{}, np.zeros((4, 4, 3), np.float32)])
+    # all-sentinel batches still collate to the sentinel (torch parity)
+    assert default_collate([{}, {}]) == {}

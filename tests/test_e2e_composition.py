@@ -302,6 +302,31 @@ def test_sequential_runtime_routes_fast_path_keys(composed_checkpoint):
     assert tail.network_params.runtime["compute_dtype"] == "float32"
     assert tail.network_params.runtime["pallas"] is True
 
+    # and the composed extractor actually consults it: the fused program
+    # for this composition is built with pallas pooling selected
+    import numpy as np
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.parallel import extract as extract_mod
+
+    network.wrappers["eval"] = __import__(
+        "mdir_tpu.learning.wrappers", fromlist=["Compose"]).Compose([])
+    mean_std = [[0.5] * 3, [0.5] * 3]
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+    import tempfile, os
+    fd, p = tempfile.mkstemp(suffix=".jpg")
+    os.close(fd)
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(p)
+    extract_mod._COMPOSED_CACHE.clear()
+    extract_mod.extract_vectors_composed(network, [p], 64, transform,
+                                         max_batch=1)
+    assert any(k[4] is True for k in extract_mod._COMPOSED_CACHE), \
+        "composed extractor ignored the routed pallas key"
+    os.unlink(p)
+
 
 def test_infer_embedding_output_with_nan_sentinel(tmp_path, rng):
     """infer stage with the embedding output: descriptors accumulate into an

@@ -429,3 +429,26 @@ def test_mesh_placement_helpers():
     tree = {"w": np.ones((4,), np.float32)}
     rep = replicate(mesh, tree)
     assert rep["w"].sharding.is_fully_replicated
+
+
+def test_uplink_error_does_not_deadlock():
+    """A worker that dies on an error keeps draining the bounded queue, so
+    a producer mid-submit never blocks forever; the error surfaces on the
+    next submit() or drain()."""
+    import time
+
+    from mdir_tpu.parallel.extract import _Uplink
+
+    def boom(payload):
+        raise RuntimeError("transport died")
+
+    uplink = _Uplink(boom, depth=2)
+    uplink.submit(("a",))
+    with pytest.raises(RuntimeError, match="transport died"):
+        # keep submitting: the queue must never block indefinitely
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            uplink.submit(("b",))
+        raise AssertionError("error never surfaced")
+    with pytest.raises(RuntimeError):
+        uplink.drain()
