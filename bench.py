@@ -556,6 +556,27 @@ def main():
         "tunnel_mbps_min": round(min(tunnels), 1),
         "ingress_saturation": round(best_sat, 2),
     }
+    # does the transport multiplex concurrent puts? One e2e pass with two
+    # uplink streams answers it in the captured record: a rate materially
+    # above the single-stream pass says yes (then 2 streams should become
+    # the default); parity-or-below says the link is single-stream-limited
+    if os.environ.get("BENCH_STREAMS_VARIANT", "1") != "0":
+        os.environ["MDIR_TPU_UPLINK_STREAMS"] = "2"
+        try:
+            start = time.time()
+            run(arrays)
+            two_elapsed = time.time() - start
+            two_tunnel = _measure_tunnel(probe, reps=1)
+            two_rate = shipped_bytes / two_elapsed / 1e6
+            result["e2e_2streams_imgs_per_sec"] = round(
+                n_images / two_elapsed, 2)
+            result["e2e_2streams_saturation"] = round(
+                two_rate / max(two_tunnel, two_rate), 2)
+        except Exception as exc:
+            result["e2e_2streams_error"] = str(exc)[:200]
+        finally:
+            os.environ.pop("MDIR_TPU_UPLINK_STREAMS", None)
+
     if last_stats:
         # per-chunk uplink-thread occupancy (MDIR_TPU_UPLINK_STATS=1): time
         # the transfer thread spent NOT moving the batch is the pipeline's
