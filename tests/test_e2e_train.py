@@ -285,3 +285,16 @@ def test_train_from_pretrained_checkpoint_with_runtime_inheritance(train_root):
     # less than a fresh init would be (continuation, not restart)
     assert not np.allclose(flat(fres["model_state"]),
                            flat(stored["model_state"]))
+
+
+def test_runtime_inheritance_per_key(train_root):
+    """Individual runtime keys may defer to the checkpoint while others
+    override (reference load_from_checkpoint per-key semantics)."""
+    from mdir_tpu.learning.network import _inherit_runtime
+
+    stored = {"wrappers": "cirfaketuplebatch", "data": {"mean_std": [1, 2]}}
+    resolved = _inherit_runtime(
+        {"wrappers": "load_from_checkpoint", "data": {"mean_std": [3, 4]}},
+        stored)
+    assert resolved == {"wrappers": "cirfaketuplebatch",
+                        "data": {"mean_std": [3, 4]}}

@@ -452,3 +452,25 @@ def test_uplink_error_does_not_deadlock():
         raise AssertionError("error never surfaced")
     with pytest.raises(RuntimeError):
         uplink.drain()
+
+
+def test_resize_helper_utilities(rng):
+    """ops.resize host helpers: bucket rounding, zero-pad + valid mask, and
+    the PIL max-side thumbnail used by host loaders."""
+    from PIL import Image
+
+    from mdir_tpu.ops.resize import (bucket_shape, max_side_resize_pil,
+                                     pad_to_shape)
+
+    assert bucket_shape(65, 70, 64) == (128, 128)
+    assert bucket_shape(300, 80, 64, max_side=256) == (256, 128)
+
+    x = jnp.asarray(rng.rand(10, 12, 3).astype(np.float32))
+    padded, mask = pad_to_shape(x, (16, 16))
+    assert padded.shape == (16, 16, 3) and mask.shape == (16, 16)
+    np.testing.assert_array_equal(np.asarray(padded[:10, :12]), np.asarray(x))
+    assert float(mask[:10, :12].min()) == 1.0 and float(mask[10:].max()) == 0.0
+
+    img = Image.fromarray((rng.rand(40, 80, 3) * 255).astype(np.uint8))
+    small = max_side_resize_pil(img, 32)
+    assert max(small.size) == 32

@@ -263,3 +263,45 @@ def test_eval_loss_cache_does_not_pin_variables():
     del network
     gc.collect()
     assert model_ref() is None, "eval-loss cache pins the Model wrapper"
+
+
+def test_loss_validation_over_tuple_loader():
+    """LossValidation end-to-end over a tuple loader: the batched padded
+    program computes each batch's loss (equal to the wrapper path by the
+    bucketed-extraction invariant), reported batch-normalized for
+    sum-reduction criteria."""
+    from mdir_tpu.learning.validation import LossValidation
+    from mdir_tpu.learning.wrappers import CirFakeTupleBatch, Compose
+    from mdir_tpu.optim.criteria import initialize_criterion
+
+    network = _make_network()
+    network.wrappers["eval"] = Compose([CirFakeTupleBatch()])
+    network.eval()
+    criterion = initialize_criterion(
+        {"loss": "contrastive", "margin": 0.7, "eps": 1e-6})
+
+    rng = np.random.RandomState(5)
+    batches = []
+    for _ in range(2):
+        images = [[rng.rand(96, 96 + 8 * j, 3).astype(np.float32)
+                   for j in range(3)] for _ in range(2)]
+        targets = [np.array([-1.0, 1.0, 0.0], np.float32)] * 2
+        batches.append((images, targets))
+
+    class _Loader(list):
+        dataset = object()  # no prepare_epoch: plain pregenerated data
+
+    validation = LossValidation(_Loader(batches), criterion,
+                                network_overlay=None, frequency=1)
+    logged = []
+    losses = validation.validate(
+        network, None,
+        lambda i, total, label, value, dtype: logged.append((label, value)))
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+    # wrapper-path reference, batch-normalized like the class reports
+    for (images, targets), got in zip(batches, losses):
+        flat_targets = np.concatenate([t.reshape(-1) for t in targets])
+        ref = float(np.asarray(criterion(network(images), flat_targets)))
+        np.testing.assert_allclose(got, ref / len(images), rtol=1e-5)
+    assert any(label == "loss" for label, _ in logged)
