@@ -196,3 +196,30 @@ def test_transforms_dsl_all_keys_constructible(img):
             inp = img
         out = compose(inp)
         assert out is not None, key
+
+
+def test_histogram_jax_variants_match_numpy(rng):
+    """The in-graph JAX histogram ops must match the host numpy
+    implementations (they exist so future device chains can fuse
+    histogram photometrics; parity is their contract)."""
+    from mdir_tpu.ops import histogram as H
+
+    chan = rng.rand(64, 64).astype(np.float32)
+    ref = rng.rand(64, 64).astype(np.float32)
+
+    # jnp.interp runs f32 (numpy interps in f64): ~1e-4 abs rounding
+    for name in ("f3d_lab", "eq"):
+        np.testing.assert_allclose(
+            np.asarray(H.channel_histogram_matching_jax(chan, name)),
+            H.channel_histogram_matching(chan, name), rtol=1e-4, atol=2e-4)
+
+    np.testing.assert_allclose(
+        np.asarray(H.channel2channel_histogram_matching_jax(chan, ref)),
+        H.channel2channel_histogram_matching(chan, ref),
+        rtol=1e-4, atol=2e-4)
+
+    # gamma: fixed-iteration Newton vs the scipy host solver (1e-4 tol)
+    out_jax = np.asarray(H.channel_gamma_matching_jax(chan, 0.3))
+    out_np = H.channel_gamma_matching(chan, 0.3)
+    assert abs(out_jax.mean() - 0.3) < 1e-3
+    np.testing.assert_allclose(out_jax, out_np, rtol=5e-3, atol=5e-4)
