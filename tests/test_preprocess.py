@@ -119,3 +119,27 @@ def test_bucketed_chain_fuzz_vs_host():
             diff = np.abs(np.asarray(host) - out[i, :h, :w])
             assert diff.mean() < mean_tol, (chain_str, i, diff.mean())
             assert (diff > 0.05).mean() <= frac_tol, (chain_str, i, diff.max())
+
+
+def test_chain_from_transform_reject_matrix():
+    """chain_from_transform accepts exactly the device-lowerable chains and
+    returns None (host path) for everything else."""
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.ops.preprocess import chain_from_transform
+
+    mean_std = [[0.5] * 3, [0.5] * 3]
+
+    def chain_of(dsl):
+        return chain_from_transform(initialize_transforms(dsl, mean_std))
+
+    # accepted: photometrics ending in one strict normalize
+    assert chain_of("pil2np | apply_clahe | totensor | normalize") is not None
+    assert chain_of("pil2np | tospace:lab | totensor | normalize") is not None
+
+    # rejected: geometry/augmentation, gray (channel-count change),
+    # missing or non-final normalize, empty
+    assert chain_of("pil2np | mirror | totensor | normalize") is None
+    assert chain_of("pil2np | tospace:gray | totensor | normalize") is None
+    assert chain_of("pil2np | totensor") is None
+    assert chain_of("") is None
+    assert chain_from_transform(object()) is None
