@@ -121,6 +121,12 @@ class SupervisedEpoch:
                 network, self.criterion, self.batch_average, mesh=mesh,
                 device_chain=getattr(self.data_loader.dataset,
                                      "device_chain", None))
+            if mesh is not None \
+                    and self._train_step.param_sharding == "zero" \
+                    and hasattr(optimizer, "shard_state"):
+                # pair the reduce-scattered gradients with ZeRO-sharded
+                # optimizer state (one-time re-jit of the update program)
+                optimizer.shard_state(mesh)
 
         batch, valid, targets, batch_size = prepare_batch(batch_images,
                                                           batch_targets)

@@ -38,7 +38,8 @@ TRAIN, EVAL = "train", "eval"
 # paths: compute_dtype: float32 | bfloat16 | auto (bf16 + first-chunk
 # guard on accelerators); pallas: true swaps the fused Pallas GeM+L2N
 # pooling into extraction programs (MDIR_TPU_PALLAS overrides when set)
-_RUNTIME_KEYS = {"data", "wrappers", "frozen", "compute_dtype", "pallas"}
+_RUNTIME_KEYS = {"data", "wrappers", "frozen", "compute_dtype", "pallas",
+                 "param_sharding"}
 _DATA_KEYS = {"mean_std", "transforms"}
 
 
@@ -346,7 +347,7 @@ def _route_runtime_overrides(runtime, sequence):
         routed[sequence[-1]] = {"wrappers": runtime.pop("wrappers")}
     if runtime and "data" in runtime:
         routed[sequence[0]] = {"data": runtime.pop("data")}
-    for key in ("compute_dtype", "pallas"):
+    for key in ("compute_dtype", "pallas", "param_sharding"):
         if runtime and key in runtime:
             tail = routed[sequence[-1]] or {}
             tail[key] = runtime.pop(key)
@@ -379,7 +380,9 @@ class SequentialNetwork(Network):
             tail.wrappers, _build_stage_wrappers("", device)
         self.network_params = self.NetworkParams(
             {"wrappers": tail.network_params.runtime.get("wrappers"),
-             "data": head.network_params.runtime.get("data")})
+             "data": head.network_params.runtime.get("data"),
+             "param_sharding":
+                 tail.network_params.runtime.get("param_sharding")})
         assert head.meta["out_channels"] == tail.meta["in_channels"]
         self.meta = {"in_channels": head.meta["in_channels"],
                      "out_channels": tail.meta["out_channels"]}

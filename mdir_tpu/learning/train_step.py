@@ -107,10 +107,19 @@ class TrainStep:
     data axis and parameters are replicated; XLA inserts the gradient
     all-reduce over ICI (pick a batch size divisible by the device count —
     the tuple loaders use drop_last like the reference).
+
+    ``param_sharding="zero"`` (yaml: ``network: runtime: param_sharding``)
+    additionally constrains the returned gradients to ZeRO-style per-leaf
+    shardings (``parallel/mesh.py::zero_shardings``): the step emits
+    reduce-scattered gradients instead of all-reduced ones, and the paired
+    ``Optimizer.shard_state(mesh)`` keeps momentum/Adam moments sharded N
+    ways with the param all-gather inside the update program. Same total
+    ICI bytes as plain DP, 1/N the gradient + optimizer-state memory.
     """
 
     def __init__(self, network, criterion, batch_average, mesh=None,
-                 device_chain=None, compute_dtype="auto"):
+                 device_chain=None, compute_dtype="auto",
+                 param_sharding="auto"):
         from ..ops.dtypes import guard_decision, resolve_compute_dtype
 
         self.network = network
@@ -129,6 +138,12 @@ class TrainStep:
         runtime = dict(runtime.runtime) if runtime is not None else {}
         if compute_dtype != "auto":
             runtime["compute_dtype"] = compute_dtype
+        if param_sharding == "auto":
+            param_sharding = runtime.get("param_sharding")
+        if param_sharding in ("dp", "none"):
+            param_sharding = None
+        assert param_sharding in (None, "zero"), param_sharding
+        self.param_sharding = param_sharding
         dtype, guard = resolve_compute_dtype(runtime)
         model = getattr(network, "model", None)
         from .network import SequentialNetwork
@@ -220,11 +235,24 @@ class TrainStep:
                 aux["_output"] = out
                 return loss, aux
 
+        mesh = self.mesh
+        use_zero = self.param_sharding == "zero" and mesh is not None
+
         @jax.jit
         def value_and_grad(params, batch, valid_hw, targets, rng, clahe_aux,
                            net_vars):
-            return jax.value_and_grad(forward, has_aux=True)(
+            out, grads = jax.value_and_grad(forward, has_aux=True)(
                 params, batch, valid_hw, targets, rng, clahe_aux, net_vars)
+            if use_zero:
+                # ZeRO-sharded DP: the gradients leave this program
+                # reduce-scattered (one shard per device along each leaf's
+                # largest divisible dim) instead of all-reduced; the paired
+                # sharded optimizer update re-gathers params afterwards
+                from ..parallel.mesh import zero_shardings
+
+                grads = jax.lax.with_sharding_constraint(
+                    grads, zero_shardings(mesh, grads))
+            return out, grads
 
         return value_and_grad
 

@@ -33,3 +33,44 @@ def shard_batch(mesh, array, axis="batch"):
 
 def replicate(mesh, tree):
     return jax.device_put(tree, replicated(mesh))
+
+
+def zero_shardings(mesh, tree, axis="batch"):
+    """Per-leaf ZeRO-style shardings: each array leaf splits its largest
+    mesh-divisible dimension across ``axis``; leaves with no divisible
+    dimension (scalars, step counters, odd-sized vectors) replicate.
+
+    Used for gradients and optimizer state in the ZeRO-sharded DP training
+    mode (``network: runtime: param_sharding: zero``): gradients leave the
+    step program reduce-scattered instead of all-reduced, momentum/Adam
+    moments live sharded N ways, and the optimizer update emits replicated
+    params (the all-gather rides inside the compiled update program) — same
+    total ICI traffic as plain DP all-reduce, 1/N the grad + optimizer-state
+    memory. The reference is single-device (SURVEY.md §2.11); this is the
+    jax.sharding scaling of its SGD/Adam training.
+    """
+    n = mesh.devices.size
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", None) or ()
+        best, size = None, 0
+        for i, d in enumerate(shape):
+            if d % n == 0 and d > size:
+                best, size = i, d
+        if best is None:
+            return NamedSharding(mesh, P())
+        parts = [None] * len(shape)
+        parts[best] = axis
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree.map(spec, tree)
+
+
+def zero_put(mesh, tree, axis="batch"):
+    """Place a tree's array leaves with ``zero_shardings``; non-array leaves
+    (python ints in optimizer state) pass through untouched."""
+    shardings = zero_shardings(mesh, tree, axis)
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(leaf, s)
+        if hasattr(leaf, "shape") or hasattr(leaf, "dtype") else leaf,
+        tree, shardings)
