@@ -431,6 +431,14 @@ class SequentialNetwork(Network):
     @classmethod
     def initialize(cls, params, device=None):
         sequence = params.pop("sequence").split(",")
+        # a composition-level runtime routes to the subnets exactly like the
+        # checkpoint-load path does (wrappers/fast-path keys to the tail,
+        # data defaults to the head)
+        routed = _route_runtime_overrides(params.pop("runtime", None),
+                                          sequence)
+        for name, overrides in routed.items():
+            if overrides:
+                params[name].setdefault("runtime", {}).update(overrides)
         built = {name: NETWORKS[spec.pop("type")].initialize(spec, device)
                  for name, spec in params.items()}
         return cls(built, sequence, device=device, frozen=False)

@@ -164,3 +164,101 @@ def test_alternation_counters():
                                 alternate_iteration=2, order="a,b")
     alt2.load_state_dict(state)
     assert alt2.current_iteration == 3 and alt2.current_optimizer == 1
+
+
+def test_joint_training_alternation_zero_sharded(sfm_root, tmp_path):
+    """The composed path under ZeRO-sharded DP: a scenario-level
+    ``runtime: param_sharding: zero`` routes to the tail subnet, surfaces
+    through the composed network_params, and pairs reduce-scattered
+    gradients with OptimizerAlternation.shard_state — with the embedder
+    frozen (optimizer None), only the translator's state shards."""
+    import jax
+
+    from mdir_tpu.stages.train import train
+
+    mean_std = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+    params = {
+        "network": {
+            "type": "SequentialNetwork",
+            "sequence": "translate,embed",
+            "runtime": {"param_sharding": "zero"},
+            "translate": {
+                "type": "SingleNetwork",
+                "path": None,
+                "model": {"architecture": "pixelconv_regr", "in_channels": 3,
+                          "out_channels": 3, "hidden": [8]},
+                "initialize": {"weights": "he_normal", "seed": 0},
+                "runtime": {"wrappers": "",
+                            "data": {"mean_std": mean_std,
+                                     "transforms":
+                                         "pil2np | totensor | normalize"}},
+            },
+            "embed": {
+                "type": "CirNetwork",
+                "path": None,
+                "model": {"architecture": "cirnet",
+                          "cir_architecture": "alexnet",
+                          "local_whitening": False, "pooling": "gem",
+                          "regional": False, "whitening": False,
+                          "pretrained": False},
+                "initialize": {"weights": "default", "seed": 0},
+                "runtime": {"wrappers": {"train": "cirfaketuplebatch",
+                                         "eval": ""}},
+            },
+        },
+        "learning": {
+            "type": "TrainValLearning",
+            "checkpoints": {"directory": str(tmp_path / "exp_zero"),
+                            "store_every": 0, "checkpoint_every": 1},
+            "training": {
+                "type": "EpochTraining",
+                "epochs": 1,
+                "deterministic": True,
+                "seed": 0,
+                "criterion": {"loss": "contrastive", "margin": 0.7,
+                              "eps": 1e-6},
+                "optimizer": {
+                    "composition": {"type": "alternation",
+                                    "alternate_iteration": None,
+                                    "order": None},
+                    "translate": {"algorithm": "adam", "lr": 1e-4,
+                                  "weight_decay": 0},
+                    "embed": None,  # frozen
+                },
+                "scheduler": None,
+                "epoch_iteration": {
+                    "type": "SupervisedEpoch",
+                    "data": "train",
+                    "criterion": "default",
+                    "batch_average": False,
+                    "fakebatch": True,
+                    # 3 tuples x 3 images = 9 images over a 3-device mesh
+                    "parallel": {"data": 3},
+                },
+            },
+            "validation": False,
+        },
+        "output": {"learning": {"progress": {"print_each": 100}}},
+        "data": {
+            "train": {
+                "mean_std": mean_std,
+                "transforms": "pil2np | totensor | normalize",
+                "dataset": {"name": "CirTuples",
+                            "dataset": "retrieval-SfM-tiny",
+                            "split": "train",
+                            "image_size": 48,
+                            "neg_num": 1,
+                            "dataset_pkl": str(
+                                sfm_root / "data" / "train" /
+                                "retrieval-SfM-tiny" / "retrieval-SfM-tiny.pkl"),
+                            "image_dir": None,
+                            "query_size": 3,
+                            "pool_size": 12},
+                "loader": {"batch_size": 3, "num_workers": 0},
+            },
+        },
+    }
+
+    metadata, = train(copy.deepcopy(params), ())
+    losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
+    assert len(losses) == 1 and np.isfinite(losses[0])
