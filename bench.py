@@ -14,7 +14,12 @@ Fields:
   same payloads, ``ingress_mbps`` the achieved e2e rate in bytes, and
   ``ingress_saturation`` their ratio (≈1.0 means the pipeline is
   transfer-bound and saturating the link — local-PCIe deployments see the
-  device-resident rate instead).
+  device-resident rate instead). The tunnel's rate swings several-fold
+  within a run, so a probe minutes from the pass can measure a different
+  link: ``ingress_occupancy`` is the swing-proof companion — the fraction
+  of the best pass's wall time the uplink thread spent inside device puts,
+  computed from the pass's OWN transfers (≈1.0 means the link, at whatever
+  rate it ran during the pass, was the limiter).
 - ``device_resident_imgs_per_sec``: the same fused program with inputs
   already in HBM — the chip-side rate.
 - ``device_tflops`` / ``mfu_vs_bf16_peak``: achieved TFLOP/s from XLA's
@@ -403,6 +408,7 @@ def _chain_e2e_subprocess(chain_dsl, n_images, max_batch, mean_std):
         initialize_transforms(chain_dsl, list(mean_std)))
     lifted = {"clahe_chain_e2e_imgs_per_sec": sub["value"],
               "clahe_chain_ingress_saturation": sub["ingress_saturation"],
+              "clahe_chain_ingress_occupancy": sub.get("ingress_occupancy"),
               "clahe_chain_ships_l": bool(chain.ships_l)}
     for key in ("uplink_batch_put_s", "uplink_aux_put_s", "uplink_chunks"):
         if key in sub:
@@ -492,26 +498,27 @@ def main():
         arrays = [chain.host_input(a) for a in arrays]
         shipped_bytes = sum(a.nbytes for a in arrays)
 
+    # per-chunk uplink put timings for every timed pass: the tunnel's rate
+    # swings several-fold within a run, so the only swing-proof saturation
+    # measure is the uplink thread's own occupancy (time spent inside puts
+    # over pass wall time) — bytes/put_s IS the link rate during the pass
+    os.environ["MDIR_TPU_UPLINK_STATS"] = "1"
     last_stats = []
 
     def run(imgs):
-        if chain is not None:
-            from mdir_tpu.parallel.extract import StreamingExtractor
+        from mdir_tpu.parallel.extract import StreamingExtractor
 
-            extractor = StreamingExtractor(
-                model, scales=scales, msp=msp, max_batch=max_batch,
-                compute_dtype=compute_dtype, device_chain=chain,
-                dtype_guard=dtype_guard)
-            for i, arr in enumerate(imgs):
-                extractor.add(i, arr)
-            out = extractor.finish(len(imgs))
-            if extractor.stats:
-                last_stats[:] = extractor.stats
-            return out
-        return extract_vectors_batched(
-            model, imgs, scales=scales, msp=msp, max_batch=max_batch,
-            normalize_mean_std=mean_std, compute_dtype=compute_dtype,
-            dtype_guard=dtype_guard)
+        kwargs = dict(device_chain=chain) if chain is not None \
+            else dict(normalize_mean_std=mean_std)
+        extractor = StreamingExtractor(
+            model, scales=scales, msp=msp, max_batch=max_batch,
+            compute_dtype=compute_dtype, dtype_guard=dtype_guard, **kwargs)
+        for i, arr in enumerate(imgs):
+            extractor.add(i, arr)
+        out = extractor.finish(len(imgs))
+        if extractor.stats:
+            last_stats[:] = extractor.stats
+        return out
 
     # warmup: compile every (bucket, batch) program the timed run will hit
     run(arrays[:2 * max_batch])
@@ -523,17 +530,29 @@ def main():
     # reported (a probe minutes away measures a different link).
     probe = np.concatenate([a.reshape(-1) for a in arrays[:max_batch]])
     elapsed = float("inf")
-    best_sat, tunnels = 0.0, []
+    best_sat, best_occ, tunnels = 0.0, 0.0, []
     for mpass in range(3):
         start = time.time()
         vecs = run(arrays)
         pass_elapsed = time.time() - start
         pass_tunnel = _measure_tunnel(probe, reps=1)
         tunnels.append(pass_tunnel)
+        # occupancy: fraction of the pass the uplink thread spent inside
+        # device puts. Unlike the adjacent probe (which can measure a
+        # different link state minutes later — observed 37 MB/s probes
+        # around a 10 MB/s pass AND the reverse), this is computed from
+        # the pass's own transfers, so it is immune to tunnel swings:
+        # occupancy ≈ 1 means the link, at whatever rate it ran DURING
+        # the pass, was busy the whole time — the pipeline added nothing.
+        put_s = sum(s["batch_put_s"] + s["aux_put_s"] for s in last_stats) \
+            if last_stats else 0.0
+        best_occ = max(best_occ, put_s / pass_elapsed)
         if os.environ.get("BENCH_DEBUG"):
-            print("# main pass %d: %.2f s (%.1f MB/s), tunnel %.1f"
+            print("# main pass %d: %.2f s (%.1f MB/s), tunnel %.1f, "
+                  "occupancy %.2f"
                   % (mpass, pass_elapsed, shipped_bytes / pass_elapsed / 1e6,
-                     pass_tunnel), file=sys.stderr, flush=True)
+                     pass_tunnel, put_s / pass_elapsed),
+                  file=sys.stderr, flush=True)
         # a probe can itself catch a link stall (measured 3 MB/s probes
         # seconds after a 38 MB/s pass) — saturation >1 means the pass
         # outran its probe, i.e. the pipeline was NOT the limiter: cap
@@ -555,6 +574,7 @@ def main():
         "tunnel_mbps": round(tunnel_mbps, 1),
         "tunnel_mbps_min": round(min(tunnels), 1),
         "ingress_saturation": round(best_sat, 2),
+        "ingress_occupancy": round(best_occ, 2),
     }
     # does the transport multiplex concurrent puts? One e2e pass with two
     # uplink streams answers it in the captured record: a rate materially
@@ -572,6 +592,12 @@ def main():
                 n_images / two_elapsed, 2)
             result["e2e_2streams_saturation"] = round(
                 two_rate / max(two_tunnel, two_rate), 2)
+            if last_stats:
+                # summed put time over wall time; >1 would mean the two
+                # streams genuinely multiplexed on the transport
+                result["e2e_2streams_occupancy"] = round(
+                    sum(s["batch_put_s"] + s["aux_put_s"]
+                        for s in last_stats) / two_elapsed, 2)
         except Exception as exc:
             result["e2e_2streams_error"] = str(exc)[:200]
         finally:
