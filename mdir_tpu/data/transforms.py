@@ -21,9 +21,20 @@ from ..ops import histogram as hist_ops
 from ..tools.utils import parse_tuple
 
 
+def _import_cv2():
+    """cv2 with its internal thread pool disabled (reference
+    augmentation_transforms.py:6 pins ``cv2.setNumThreads(0)`` inside
+    loader workers): on the 1-core host cv2's pool oversubscribes against
+    the uplink/prefetch threads on host-chain fallback paths."""
+    import cv2
+
+    cv2.setNumThreads(0)
+    return cv2
+
+
 def rgb2normspace_np(img, colorspace):
     """cv2-backed colorspace normalization (reference functional.py:24-36)."""
-    import cv2
+    cv2 = _import_cv2()
 
     colorspace = colorspace.lower()
     if colorspace == "lab":
@@ -45,7 +56,7 @@ def rgb2normspace_np(img, colorspace):
 
 
 def normspace2rgb_np(img, colorspace):
-    import cv2
+    cv2 = _import_cv2()
 
     colorspace = colorspace.lower()
     if colorspace == "lab":
@@ -229,7 +240,7 @@ class RandomScaleCrop(GenericTransform):
                           "scale": parse_tuple(scale, float)})
 
     def __call__(self, *pics):
-        import cv2
+        cv2 = _import_cv2()
 
         if len(pics) == 1 or pics[0].shape[:2] == pics[1].shape[:2]:
             if (pics[0].shape[:2] == self.params["size"][::-1]).all():
@@ -347,7 +358,7 @@ class AddEdgesDollarFromRgb(GenericTransform):
         assert not self.params["resize"]
         assert self.params["prefilter"] in {None, "clahe"}
         assert self.params["postfilter"] in {None, "edgefilter"}
-        import cv2
+        cv2 = _import_cv2()
 
         model_path = model
         if "." not in model_path.rsplit("/", 1)[-1]:

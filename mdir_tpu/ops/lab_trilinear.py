@@ -35,12 +35,14 @@ host's cv2 call; only the inverse (lab->rgb after CLAHE) remains the
 ~1e-3 float path (cv2's LAB2RGB is genuine float math in this build:
 probed non-lattice).
 
-On TPU backends the production path is the v3 Pallas kernel
-(``_lab_v3_kernel``): same integer pipeline, but the (1089, px) pair
-weights live and die in VMEM instead of round-tripping HBM — 96 ms vs
-128 ms (XLA scan) for 16x768x1024 on v5e, bit-exact vs numpy on chip.
-``lab_chan``/``lab_normspace``/``lab_l_u8`` dispatch; the XLA scan stays
-the portable fallback (``MDIR_TPU_LAB_PALLAS=0`` opts out).
+The production path is the W-chunked XLA scan (``lab_*_jax``): each
+scan step contracts ~2048 pixels so the (px, 1089) pair operand stays
+VMEM-sized — measured ~21 ms per batch-of-8 at 768x1024 on v5e vs the
+v3 Mosaic kernel's ~24.5 ms, so XLA is the default and the Pallas kernel
+(``_lab_v3_kernel``, same integer pipeline with the pair weights living
+in VMEM) is opt-IN via ``MDIR_TPU_LAB_PALLAS=1``.
+``lab_chan``/``lab_normspace``/``lab_l_u8`` dispatch accordingly; both
+paths are bit-exact vs numpy on chip.
 
 The 33^3 x 3 node lattice ships as ``_lab_nodes.npy`` (int16, 216 KB),
 probed from cv2 at the grid inputs k/32 (exact fixed-point values); a cheap
