@@ -16,10 +16,14 @@ Fields:
   transfer-bound and saturating the link — local-PCIe deployments see the
   device-resident rate instead). The tunnel's rate swings several-fold
   within a run, so a probe minutes from the pass can measure a different
-  link: ``ingress_occupancy`` is the swing-proof companion — the fraction
-  of the best pass's wall time the uplink thread spent inside device puts,
-  computed from the pass's OWN transfers (≈1.0 means the link, at whatever
-  rate it ran during the pass, was the limiter).
+  link: the ``budget_*`` fields decompose the BEST pass's wall time on the
+  producer timeline (fill + stream + drain + sync = wall, exactly), with
+  ``downstream_wait_frac`` the swing-proof limiter signal — the fraction
+  of the pass the producer spent waiting on the uplink/wire/device. The
+  r03 ``ingress_occupancy`` field (put-time / wall) is retired: a live
+  probe showed ``jnp.asarray`` puts are async on axon (a 37 MB payload
+  "puts" in ~27 ms against a ~30-40 MB/s wire), so put time never measured
+  wire time — the wire drains in ``budget_sync_s``.
 - ``device_resident_imgs_per_sec``: the same fused program with inputs
   already in HBM — the chip-side rate.
 - ``device_tflops`` / ``mfu_vs_bf16_peak``: achieved TFLOP/s from XLA's
@@ -339,6 +343,58 @@ def _measure_mining(model, mean_std, compute_dtype, dtype_guard,
     return n_images / elapsed
 
 
+def _pass_budget(pass_start, wall, stats, budget, nbytes, probe_mbps):
+    """Decompose a streaming pass's wall time on the producer timeline.
+
+    Exact partition (the four ``budget_*`` interval fields sum to
+    ``budget_wall_s`` by construction — consecutive intervals on the
+    producer thread):
+
+      fill   = first-chunk host fill (pass start -> first _submit)
+      stream = producer loop (batch assembly + adds + submit backpressure)
+      drain  = waiting for the uplink thread to finish queued chunks
+      sync   = host reads of the results. Probe-verified on axon:
+               ``jnp.asarray`` puts are ASYNC (a 37 MB payload "puts" in
+               ~27 ms while the wire moves ~30-40 MB/s), so the wire and
+               device compute drain HERE, not inside put calls. This is
+               why r03's put-time "occupancy" (0.54) undershot a
+               saturated link — put time is dispatch, not wire time.
+
+    Overlapped uplink-thread components (put/pack/launch/queue-wait) are
+    reported for attribution but are NOT part of the partition; the
+    structural floor is ``budget_wire_s_at_probe`` = bytes / the
+    pass-adjacent probed link rate.
+    """
+    out = {"budget_wall_s": wall}
+    if budget:
+        t_first = budget.get("t_first_submit", pass_start)
+        t_drain = budget.get("t_drain_start", pass_start + wall)
+        out["budget_fill_s"] = t_first - pass_start
+        out["budget_stream_s"] = t_drain - t_first
+        out["budget_drain_s"] = budget.get("drain_s", 0.0)
+        out["budget_sync_s"] = budget.get("sync_s", 0.0)
+        out["budget_assembly_s"] = budget.get("assembly_s", 0.0)
+        out["budget_submit_block_s"] = budget.get("submit_block_s", 0.0)
+        out["budget_queue_wait_s"] = budget.get("queue_wait_s", 0.0)
+        # swing-proof limiter signal: fraction of the pass the producer
+        # spent waiting on the downstream (uplink thread, wire, device) —
+        # ~1 means the host side added nothing to the critical path
+        out["downstream_wait_frac"] = min(1.0, (
+            out["budget_submit_block_s"] + out["budget_drain_s"]
+            + out["budget_sync_s"]) / max(wall, 1e-9))
+    if stats:
+        out["budget_put_call_s"] = sum(
+            s["batch_put_s"] + s["aux_put_s"] for s in stats)
+        out["budget_aux_pack_s"] = sum(s.get("aux_pack_s", 0.0)
+                                       for s in stats)
+        out["budget_launch_s"] = sum(s.get("launch_s", 0.0) for s in stats)
+        out["uplink_chunks"] = len(stats)
+    if probe_mbps:
+        out["budget_wire_s_at_probe"] = nbytes / probe_mbps / 1e6
+    return {k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in out.items()}
+
+
 def _bench_chain_e2e(model, chain_dsl, mean_std, arrays, scales, msp,
                      max_batch, compute_dtype, result):
     """e2e streaming rate of the device CLAHE chain, best of 3 passes."""
@@ -356,7 +412,8 @@ def _bench_chain_e2e(model, chain_dsl, mean_std, arrays, scales, msp,
             compute_dtype=compute_dtype, device_chain=cchain)
         for i, arr in enumerate(craw):
             ext.add(i, arr)
-        return ext.finish(len(craw))
+        out = ext.finish(len(craw))
+        return out, list(ext.stats or ()), dict(ext.budget or {})
 
     run_chain()  # compile + warm
     # per-pass adjacent tunnel probes: the link swings several-fold within
@@ -365,9 +422,10 @@ def _bench_chain_e2e(model, chain_dsl, mean_std, arrays, scales, msp,
     c_bytes = sum(a.nbytes for a in craw)
     c_probe = np.concatenate([a.reshape(-1) for a in craw[:max_batch]])
     c_elapsed, c_sat = float("inf"), 0.0
+    c_budget = {}
     for cpass in range(3):
         start = time.time()
-        cvecs = run_chain()
+        cvecs, c_stats, c_raw_budget = run_chain()
         pass_elapsed = time.time() - start
         pass_tunnel = _measure_tunnel(c_probe, reps=1)
         if os.environ.get("BENCH_DEBUG"):
@@ -376,11 +434,15 @@ def _bench_chain_e2e(model, chain_dsl, mean_std, arrays, scales, msp,
                      pass_tunnel), file=sys.stderr, flush=True)
         pass_rate = c_bytes / pass_elapsed / 1e6
         c_sat = max(c_sat, pass_rate / max(pass_tunnel, pass_rate))
-        c_elapsed = min(c_elapsed, pass_elapsed)
+        if pass_elapsed < c_elapsed:
+            c_elapsed = pass_elapsed
+            c_budget = _pass_budget(start, pass_elapsed, c_stats,
+                                    c_raw_budget, c_bytes, pass_tunnel)
     assert np.isfinite(cvecs).all()
     result["clahe_chain_e2e_imgs_per_sec"] = round(len(craw) / c_elapsed, 2)
     result["clahe_chain_ingress_saturation"] = round(c_sat, 2)
     result["clahe_chain_ships_l"] = bool(cchain.ships_l)
+    result.update({"clahe_chain_" + k: v for k, v in c_budget.items()})
 
 
 def _chain_e2e_subprocess(chain_dsl, n_images, max_batch, mean_std):
@@ -408,10 +470,12 @@ def _chain_e2e_subprocess(chain_dsl, n_images, max_batch, mean_std):
         initialize_transforms(chain_dsl, list(mean_std)))
     lifted = {"clahe_chain_e2e_imgs_per_sec": sub["value"],
               "clahe_chain_ingress_saturation": sub["ingress_saturation"],
-              "clahe_chain_ingress_occupancy": sub.get("ingress_occupancy"),
               "clahe_chain_ships_l": bool(chain.ships_l)}
-    for key in ("uplink_batch_put_s", "uplink_aux_put_s", "uplink_chunks"):
-        if key in sub:
+    for key in sub:
+        # lift the subprocess's own best-pass budget (it describes the
+        # chain pass that produced clahe_chain_e2e_imgs_per_sec)
+        if key.startswith("budget_") or key in ("downstream_wait_frac",
+                                                "uplink_chunks"):
             lifted["clahe_chain_" + key] = sub[key]
     return lifted
 
@@ -498,12 +562,13 @@ def main():
         arrays = [chain.host_input(a) for a in arrays]
         shipped_bytes = sum(a.nbytes for a in arrays)
 
-    # per-chunk uplink put timings for every timed pass: the tunnel's rate
-    # swings several-fold within a run, so the only swing-proof saturation
-    # measure is the uplink thread's own occupancy (time spent inside puts
-    # over pass wall time) — bytes/put_s IS the link rate during the pass
+    # per-chunk uplink timings + a pass-level budget for every timed pass:
+    # the tunnel's rate swings several-fold within a run, so the per-pass
+    # budget (whose interval fields sum to the pass wall) is the only
+    # swing-proof decomposition — see _pass_budget
     os.environ["MDIR_TPU_UPLINK_STATS"] = "1"
     last_stats = []
+    last_budget = {}
 
     def run(imgs):
         from mdir_tpu.parallel.extract import StreamingExtractor
@@ -518,6 +583,8 @@ def main():
         out = extractor.finish(len(imgs))
         if extractor.stats:
             last_stats[:] = extractor.stats
+            last_budget.clear()
+            last_budget.update(extractor.budget)
         return out
 
     # warmup: compile every (bucket, batch) program the timed run will hit
@@ -530,35 +597,30 @@ def main():
     # reported (a probe minutes away measures a different link).
     probe = np.concatenate([a.reshape(-1) for a in arrays[:max_batch]])
     elapsed = float("inf")
-    best_sat, best_occ, tunnels = 0.0, 0.0, []
+    best_sat, tunnels = 0.0, []
+    best_budget = {}
     for mpass in range(3):
         start = time.time()
         vecs = run(arrays)
         pass_elapsed = time.time() - start
         pass_tunnel = _measure_tunnel(probe, reps=1)
         tunnels.append(pass_tunnel)
-        # occupancy: fraction of the pass the uplink thread spent inside
-        # device puts. Unlike the adjacent probe (which can measure a
-        # different link state minutes later — observed 37 MB/s probes
-        # around a 10 MB/s pass AND the reverse), this is computed from
-        # the pass's own transfers, so it is immune to tunnel swings:
-        # occupancy ≈ 1 means the link, at whatever rate it ran DURING
-        # the pass, was busy the whole time — the pipeline added nothing.
-        put_s = sum(s["batch_put_s"] + s["aux_put_s"] for s in last_stats) \
-            if last_stats else 0.0
-        best_occ = max(best_occ, put_s / pass_elapsed)
         if os.environ.get("BENCH_DEBUG"):
-            print("# main pass %d: %.2f s (%.1f MB/s), tunnel %.1f, "
-                  "occupancy %.2f"
+            print("# main pass %d: %.2f s (%.1f MB/s), tunnel %.1f"
                   % (mpass, pass_elapsed, shipped_bytes / pass_elapsed / 1e6,
-                     pass_tunnel, put_s / pass_elapsed),
+                     pass_tunnel),
                   file=sys.stderr, flush=True)
         # a probe can itself catch a link stall (measured 3 MB/s probes
         # seconds after a 38 MB/s pass) — saturation >1 means the pass
         # outran its probe, i.e. the pipeline was NOT the limiter: cap
         pass_rate = shipped_bytes / pass_elapsed / 1e6
         best_sat = max(best_sat, pass_rate / max(pass_tunnel, pass_rate))
-        elapsed = min(elapsed, pass_elapsed)
+        if pass_elapsed < elapsed:
+            # the budget describes the SAME pass as the headline rate
+            elapsed = pass_elapsed
+            best_budget = _pass_budget(start, pass_elapsed, list(last_stats),
+                                       dict(last_budget), shipped_bytes,
+                                       pass_tunnel)
     assert vecs.shape[1] == n_images
     assert np.isfinite(vecs).all()
     imgs_per_sec = n_images / elapsed
@@ -574,8 +636,8 @@ def main():
         "tunnel_mbps": round(tunnel_mbps, 1),
         "tunnel_mbps_min": round(min(tunnels), 1),
         "ingress_saturation": round(best_sat, 2),
-        "ingress_occupancy": round(best_occ, 2),
     }
+    result.update(best_budget)
     # does the transport multiplex concurrent puts? One e2e pass with two
     # uplink streams answers it in the captured record: a rate materially
     # above the single-stream pass says yes (then 2 streams should become
@@ -590,28 +652,16 @@ def main():
             two_rate = shipped_bytes / two_elapsed / 1e6
             result["e2e_2streams_imgs_per_sec"] = round(
                 n_images / two_elapsed, 2)
+            # the rate comparison vs the single-stream pass is the only
+            # sound multiplexing signal: with puts async (and, on a
+            # serializing transport, threads blocking concurrently) summed
+            # per-thread put time over wall is inconclusive either way
             result["e2e_2streams_saturation"] = round(
                 two_rate / max(two_tunnel, two_rate), 2)
-            if last_stats:
-                # summed put time over wall time; >1 would mean the two
-                # streams genuinely multiplexed on the transport
-                result["e2e_2streams_occupancy"] = round(
-                    sum(s["batch_put_s"] + s["aux_put_s"]
-                        for s in last_stats) / two_elapsed, 2)
         except Exception as exc:
             result["e2e_2streams_error"] = str(exc)[:200]
         finally:
             os.environ.pop("MDIR_TPU_UPLINK_STREAMS", None)
-
-    if last_stats:
-        # per-chunk uplink-thread occupancy (MDIR_TPU_UPLINK_STATS=1): time
-        # the transfer thread spent NOT moving the batch is the pipeline's
-        # own overhead — the saturation gap's breakdown
-        result["uplink_batch_put_s"] = round(
-            sum(s["batch_put_s"] for s in last_stats), 2)
-        result["uplink_aux_put_s"] = round(
-            sum(s["aux_put_s"] for s in last_stats), 2)
-        result["uplink_chunks"] = len(last_stats)
 
     # headline resident rate runs the PRODUCTION dtype (bf16-guarded on
     # the chip since round 3); f32 stays as the cross-check variant

@@ -154,13 +154,22 @@ class TrainStep:
                                   or not hasattr(model.module, "head_dtype")):
             dtype, guard = None, False
         self._guard_pending = False
-        if dtype is not None and guard:
+        self._guarded = dtype is not None and guard
+        if self._guarded:
             decision = guard_decision(model.module, kind="train")
             if decision is False:
                 dtype = None
             elif decision is None:
                 self._guard_pending = True
         self.compute_dtype = dtype
+        # periodic guard re-arm: the first-step check alone would miss a
+        # run that drifts later (loss-landscape change, BN-stat motion),
+        # so a guarded bf16 run re-runs the f32 cross-check every N steps
+        # (~1% amortized cost at the default; 0 disables)
+        self._steps = 0
+        self._rearm_every = int(
+            os.environ.get("MDIR_TPU_TRAIN_GUARD_REARM", "100")) \
+            if self._guarded else 0
 
     def _build(self, compute_dtype=None):
         from .network import SequentialNetwork
@@ -329,6 +338,13 @@ class TrainStep:
                                   for a in clahe_aux)
         call_args = (params, batch, valid_hw, targets, rng, clahe_aux,
                      net_vars)
+        # re-arm the dtype guard every N steps: a mid-run drift must
+        # trigger the same f32 fallback the first step would have
+        self._steps += 1
+        if self.compute_dtype is not None and self._rearm_every \
+                and self._steps > 1 \
+                and (self._steps - 1) % self._rearm_every == 0:
+            self._guard_pending = True
         result = self._grad_fn(*call_args)
         if self._guard_pending:
             result = self._run_dtype_guard(result, call_args)

@@ -65,7 +65,7 @@ class _Uplink:
     concurrency begins.
     """
 
-    def __init__(self, launch, depth=2, barrier_first=False):
+    def __init__(self, launch, depth=2, barrier_first=False, budget=None):
         self.launch = launch
         self.streams = max(1, int(_os.environ.get("MDIR_TPU_UPLINK_STREAMS",
                                                   "1")))
@@ -74,6 +74,10 @@ class _Uplink:
         self.queue = None
         self.errors = []
         self._barrier_first = barrier_first
+        # optional per-pass time budget (MDIR_TPU_UPLINK_STATS): worker
+        # queue-wait (producer starvation) accumulates here so a pass's
+        # wall time decomposes into wait + put + launch + drain
+        self.budget = budget
 
     def submit(self, payload):
         if _os.environ.get("MDIR_TPU_UPLINK_THREAD", "1") == "0":
@@ -91,7 +95,12 @@ class _Uplink:
 
             def _run():
                 while True:
+                    t0 = time.time() if self.budget is not None else 0.0
                     item = self.queue.get()
+                    if self.budget is not None:
+                        self.budget["queue_wait_s"] = \
+                            self.budget.get("queue_wait_s", 0.0) \
+                            + (time.time() - t0)
                     if item is None:
                         return
                     try:
@@ -114,7 +123,15 @@ class _Uplink:
                 thread.start()
         if self.errors:
             raise self.errors[0]
-        self.queue.put(payload)
+        if self.budget is not None:
+            t0 = time.time()
+            self.queue.put(payload)
+            # producer blocked on a full queue: the uplink (transfers +
+            # launches) is the limiter for this stretch of the pass
+            self.budget["submit_block_s"] = \
+                self.budget.get("submit_block_s", 0.0) + (time.time() - t0)
+        else:
+            self.queue.put(payload)
 
     def drain(self):
         if self.threads:
@@ -448,9 +465,13 @@ class StreamingExtractor:
         self.results = []  # (indices, device array), synced in finish()
         self._uplink = None  # transfer/dispatch pipeline (_Uplink)
         # opt-in per-chunk uplink timing (saturation diagnosis):
-        # [{batch_put_s, aux_put_s, bytes}] per dispatched chunk
+        # [{batch_put_s, aux_pack_s, aux_put_s, launch_s, bytes, t_done}]
+        # per dispatched chunk, plus a pass-level ``budget`` dict
+        # (assembly_s, queue_wait_s, drain/sync timestamps) so a caller can
+        # decompose a pass's wall time to ~100%
         self.stats = [] \
             if _os.environ.get("MDIR_TPU_UPLINK_STATS") else None
+        self.budget = {} if self.stats is not None else None
 
     def _bucket(self, arr):
         return (_round_up(arr.shape[0], self.bucket_multiple),
@@ -464,6 +485,9 @@ class StreamingExtractor:
             self._submit(bucket)
 
     def _submit(self, bucket):
+        t0 = time.time() if self.budget is not None else 0.0
+        if self.budget is not None and "t_first_submit" not in self.budget:
+            self.budget["t_first_submit"] = t0
         items = self.buffers.pop(bucket)
         # pad to the full batch once a bucket has compiled at full size (or
         # will: more items may still come) to keep one program per bucket
@@ -524,24 +548,36 @@ class StreamingExtractor:
                 in_bucket, clip_limit=clip, grid=grid))
 
         indices = [idx for idx, _ in items]
+        if self.budget is not None:
+            self.budget["assembly_s"] = \
+                self.budget.get("assembly_s", 0.0) + (time.time() - t0)
         self._dispatch((indices, batch, valid, grids, clahe_aux, boxes))
 
     def _transfer_and_launch(self, indices, batch, valid, grids, clahe_aux,
                              boxes):
         """Host->device transfers + one async program launch for a chunk."""
-        t0 = time.time() if self.stats is not None else 0.0
+        entry = {"bytes": batch.nbytes} if self.stats is not None else None
+        t0 = time.time() if entry is not None else 0.0
         if self._packed:
             dev_batch = jnp.asarray(batch)
-            t1 = time.time() if self.stats is not None else 0.0
-            blob = jnp.asarray(_pack_host_aux(valid, grids, clahe_aux))
+            t1 = time.time() if entry is not None else 0.0
+            host_aux = _pack_host_aux(valid, grids, clahe_aux)
+            t2 = time.time() if entry is not None else 0.0
+            blob = jnp.asarray(host_aux)
             dev_boxes = None if boxes is None \
                 else tuple(jnp.asarray(b) for b in boxes)
             call = (dev_batch, blob, dev_boxes)
-            if self.stats is not None:
-                t2 = time.time()
-                self.stats.append({"batch_put_s": t1 - t0,
-                                   "aux_put_s": t2 - t1,
-                                   "bytes": batch.nbytes})
+            if entry is not None:
+                t3 = time.time()
+                # NOTE (probe-verified on axon): jnp.asarray returns after
+                # the transport buffers the payload — put_s is dispatch (+
+                # transport backpressure once its buffer fills), NOT wire
+                # time; the wire drains asynchronously and shows up as the
+                # pass's sync tail. aux_pack_s is host CPU packing, timed
+                # apart from the put itself.
+                entry.update({"batch_put_s": t1 - t0,
+                              "aux_pack_s": t2 - t1,
+                              "aux_put_s": t3 - t2})
         else:
             put = lambda a: jax.device_put(a, self.shard)
             dev_batch = put(batch)
@@ -552,11 +588,19 @@ class StreamingExtractor:
                 else tuple(put(a) for a in clahe_aux)
             dev_boxes = None if boxes is None else tuple(put(b) for b in boxes)
             call = (dev_batch, dev_valid, dev_grids, dev_aux, dev_boxes)
+            if entry is not None:
+                entry.update({"batch_put_s": time.time() - t0,
+                              "aux_pack_s": 0.0, "aux_put_s": 0.0})
 
+        t4 = time.time() if entry is not None else 0.0
         vecs = self.fused(self.variables, *call, jnp.float32(self.msp),
                           self.P, self.m, self.mean, self.std)
         if self._guard_pending:
             vecs = self._run_dtype_guard(vecs, call)
+        if entry is not None:
+            entry["launch_s"] = time.time() - t4
+            entry["t_done"] = time.time()
+            self.stats.append(entry)
         self.results.append((indices, vecs))  # async
 
     def _run_dtype_guard(self, fast_vecs, dev_args):
@@ -599,7 +643,8 @@ class StreamingExtractor:
     def _dispatch(self, payload):
         if self._uplink is None:
             self._uplink = _Uplink(self._transfer_and_launch,
-                                   barrier_first=self._guard_pending)
+                                   barrier_first=self._guard_pending,
+                                   budget=self.budget)
         self._uplink.submit(payload)
 
     def _drain_uplink(self):
@@ -637,14 +682,25 @@ class StreamingExtractor:
         """Flush partial buffers; sync; return the (D, N) descriptor matrix."""
         for bucket in list(self.buffers.keys()):
             self._submit(bucket)
+        t0 = time.time() if self.budget is not None else 0.0
         self._drain_uplink()
+        if self.budget is not None:
+            self.budget["t_drain_start"] = t0
+            self.budget["drain_s"] = time.time() - t0
         assert self.results, "no images were added"
         dim = self.results[0][1].shape[1]
         out = np.zeros((n, dim), np.float32)
+        t1 = time.time() if self.budget is not None else 0.0
         for indices, vecs in self.results:
             host = np.asarray(vecs)  # the only sync points
             for bi, i in enumerate(indices):
                 out[i] = host[bi]
+        if self.budget is not None:
+            # the sync tail: with async puts (probe-verified) the wire and
+            # device compute drain HERE — a transfer-bound pass shows most
+            # of its wall time as drain_s + sync_s, not as put time
+            self.budget["sync_s"] = time.time() - t1
+            self.budget["t_end"] = time.time()
         self.results = []
         return out.T  # (D, N)
 
