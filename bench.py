@@ -304,6 +304,93 @@ def _measure_unet_resident(reps=4, batch=8, hw=(512, 768)):
     return rate, tflops
 
 
+def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
+    """Device-resident rate of the eval_composition.yml workload: p2p U-Net
+    night->day translation at pad-divisible resolution -> VGG16-GeM
+    multiscale embedding (reference eval_composition.yml:1-11, composed
+    forward network.py:227-236). One fused program per scale with the
+    production composed geometry (exact scale-resize + replicate-pad +
+    masked embedder), rate counted per IMAGE (all 3 scales included)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.ops.dtypes import cast_f32_tree, resolve_compute_dtype
+    from mdir_tpu.ops.resize import torch_resize_grid
+    from mdir_tpu.parallel.extract import _get_composed, _identity_grid
+
+    batch = batch or int(os.environ.get("BENCH_COMPOSED_BATCH", "4"))
+    t_model = initialize_model({"architecture": "p2p_unet",
+                                "in_channels": 3, "out_channels": 3})
+    e_model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "vgg16",
+        "local_whitening": False, "pooling": "gem", "regional": False,
+        "whitening": False, "pretrained": False})
+    compute_dtype, _ = resolve_compute_dtype({})
+    t_vars, e_vars = t_model.variables, e_model.variables
+    if compute_dtype is not None:
+        t_vars = cast_f32_tree(t_vars, compute_dtype)
+        e_vars = cast_f32_tree(e_vars, compute_dtype)
+    fused = _get_composed(t_model, e_model, True, compute_dtype)
+
+    rh, rw = hw
+    divisor = 128  # p2p U-Net: 7 stride-2 stages
+    rng = np.random.RandomState(6)
+    dev_batch = jax.device_put(
+        rng.randint(0, 256, (batch, rh, rw, 3)).astype(np.uint8))
+    mean = jnp.asarray(e_model.meta["mean"], jnp.float32)
+    std = jnp.asarray(e_model.meta["std"], jnp.float32)
+    msp = jnp.float32(float(e_model.pool_p))
+
+    calls, flops = [], 0.0
+    for scale in (1, 1.0 / math.sqrt(2), 0.5):
+        sh = int(math.floor(rh * scale)) if scale != 1 else rh
+        sw = int(math.floor(rw * scale)) if scale != 1 else rw
+        ph, pw = -(-sh // divisor) * divisor, -(-sw // divisor) * divisor
+        top = int(np.floor((ph - sh) / 2.0))
+        left = int(np.floor((pw - sw) / 2.0))
+        if scale == 1:
+            gy0, gy1, gwy = _identity_grid(sh)
+            gx0, gx1, gwx = _identity_grid(sw)
+        else:
+            gy0, gy1, gwy = torch_resize_grid(rh, sh, scale)
+            gx0, gx1, gwx = torch_resize_grid(rw, sw, scale)
+        ypack = np.zeros((batch, ph, 4), np.float32)
+        xpack = np.zeros((batch, pw, 4), np.float32)
+        sy = np.clip(np.arange(ph) - top, 0, sh - 1)
+        sx = np.clip(np.arange(pw) - left, 0, sw - 1)
+        ypack[:, :, 0], ypack[:, :, 1], ypack[:, :, 2] = \
+            gy0[sy], gy1[sy], gwy[sy]
+        xpack[:, :, 0], xpack[:, :, 1], xpack[:, :, 2] = \
+            gx0[sx], gx1[sx], gwx[sx]
+        ypack[:, :, 3] = np.clip(np.arange(ph) + top, 0, ph - 1)
+        xpack[:, :, 3] = np.clip(np.arange(pw) + left, 0, pw - 1)
+        valid = jnp.asarray(np.tile(np.array([[sh, sw]], np.int32),
+                                    (batch, 1)))
+        call = (dev_batch, valid, jnp.asarray(ypack), jnp.asarray(xpack),
+                mean, std, msp)
+        try:
+            cost = fused.lower(t_vars, e_vars,
+                               *call).compile().cost_analysis()
+            if cost:
+                cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+                flops += float(cost.get("flops", 0.0))
+        except Exception:
+            pass
+        calls.append(call)
+
+    outs = [fused(t_vars, e_vars, *c) for c in calls]
+    _ = [_sync(o) for o in outs]  # compile + warm
+    start = time.time()
+    for _rep in range(reps):
+        outs = [fused(t_vars, e_vars, *c) for c in calls]
+    _ = [_sync(o) for o in outs]
+    elapsed = time.time() - start
+    rate = reps * batch / elapsed
+    tflops = (flops * reps / elapsed / 1e12) if flops else None
+    return rate, tflops, compute_dtype or "float32"
+
+
 def _measure_mining(model, mean_std, compute_dtype, dtype_guard,
                     n_images=None, max_batch=16):
     """Hard-negative-mining extraction rate: the reference's dominant
@@ -775,6 +862,20 @@ def main():
                     result["unet_tflops"] = round(unet_tflops, 1)
             except Exception as exc:
                 result["unet_error"] = str(exc)[:200]
+
+        # the full composition workload (eval_composition.yml): U-Net
+        # translation -> VGG16-GeM multiscale embedding, per-image rate
+        if os.environ.get("BENCH_COMPOSED", "1") != "0":
+            try:
+                comp_rate, comp_tflops, comp_dtype = _measure_composed()
+                result["composed_resident_imgs_per_sec"] = round(comp_rate, 1)
+                result["composed_dtype"] = comp_dtype
+                if comp_tflops:
+                    result["composed_tflops"] = round(comp_tflops, 1)
+                    result["composed_mfu_vs_bf16_peak"] = round(
+                        comp_tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 3)
+            except Exception as exc:
+                result["composed_error"] = str(exc)[:200]
 
     print(json.dumps(result))
     return 0

@@ -27,6 +27,13 @@ class CirDatasetAp:
         self.dataset = params.pop("dataset")
         self.transforms = initialize_transforms(params.pop("transforms"),
                                                 params.pop("mean_std"))
+        # multi-chip eval (yaml: ``criterion: {parallel: {data: N}}``, the
+        # validate-side mirror of training's epoch_iteration.parallel):
+        # extraction batch-shards each chunk across an N-device mesh and
+        # ranking shards the database matrix (SURVEY §2.12)
+        self.parallel = params.pop("parallel", None)
+        if self.parallel is not None:
+            assert set(self.parallel) == {"data"}, self.parallel
 
         if isinstance(self.dataset, dict):
             # tsv dataset files
@@ -61,21 +68,34 @@ class CirDatasetAp:
     def __call__(self, network, device=None, logger=None):
         stopwatch = StopWatch()
 
+        mesh = None
+        if self.parallel is not None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(self.parallel["data"])
+
         print(">> {}: database images...".format(self.dataset))
         vecs = extract_vectors_network(network, self.images, self.image_size,
-                                       self.transforms)
+                                       self.transforms, mesh=mesh)
         print(">> {}: query images...".format(self.dataset))
         if self.images == self.qimages and set(self.bbxs) == {None}:
             qvecs = np.array(vecs)
         else:
             qvecs = extract_vectors_network(network, self.qimages,
                                             self.image_size, self.transforms,
-                                            bbxs=self.bbxs)
+                                            bbxs=self.bbxs, mesh=mesh)
         stopwatch.lap("extract_descriptors")
 
         print(">> {}: Evaluating...".format(self.dataset))
-        ranks = np.asarray(rank_database(
-            np.asarray(vecs, np.float32), np.asarray(qvecs, np.float32)))
+        if mesh is not None:
+            from ..ops.ranking import rank_database_sharded
+
+            ranks = np.asarray(rank_database_sharded(
+                np.asarray(vecs, np.float32), np.asarray(qvecs, np.float32),
+                mesh))
+        else:
+            ranks = np.asarray(rank_database(
+                np.asarray(vecs, np.float32), np.asarray(qvecs, np.float32)))
         averages, scores = compute_map_and_print(self.dataset, ranks, self.gnd)
         stopwatch.lap("compute_score")
 

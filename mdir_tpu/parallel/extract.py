@@ -773,14 +773,18 @@ def _stream_images_uint8(images, image_size, bbxs=None, workers=6, chain=None):
 
 
 def extract_vectors_network(network, images, image_size, transform, bbxs=None,
-                            batch_size=MAX_BATCH):
+                            batch_size=MAX_BATCH, mesh=None):
     """Extract (D, N) descriptors for image paths through ``network``.
 
     Uses the fused bucketed TPU path when the network's eval wrappers are the
     standard whiten/multiscale pattern; otherwise falls back to the exact
     per-image wrapper loop. Plain pil2np|totensor|normalize chains ship raw
     uint8 pixels and normalize on device. MDIR_TPU_COMPUTE_DTYPE=bfloat16
-    opts extraction into bf16 trunk compute.
+    opts extraction into bf16 trunk compute. ``mesh`` batch-shards each
+    chunk across a device mesh (DP extraction, SURVEY §2.12) — reachable
+    from the validate-stage yaml via the score's ``parallel: {data: N}``;
+    honored on the single-net fused path (composed/fallback paths run
+    single-device).
     """
     import os
 
@@ -828,7 +832,7 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, normalize_mean_std=mean_std,
                 compute_dtype=compute_dtype, dtype_guard=dtype_guard,
-                pallas=pallas)
+                pallas=pallas, mesh=mesh)
         elif chain is not None:
             # photometric chain (CLAHE etc.) fused on device, uint8 ingress
             loader = _stream_images_uint8(images, image_size, bbxs,
@@ -836,13 +840,13 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, compute_dtype=compute_dtype,
-                device_chain=chain, dtype_guard=dtype_guard, pallas=pallas)
+                device_chain=chain, dtype_guard=dtype_guard, pallas=pallas, mesh=mesh)
         else:
             loader = _stream_images(images, image_size, transform, bbxs)
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, compute_dtype=compute_dtype,
-                dtype_guard=dtype_guard, pallas=pallas)
+                dtype_guard=dtype_guard, pallas=pallas, mesh=mesh)
         # stream: host decode threads run ahead of the async device chunks
         for i, arr in enumerate(loader):
             extractor.add(i, arr)
