@@ -137,7 +137,11 @@ def _measure_resident(model, args, compute_dtype=None, reps=4):
     max_batch = args[0].shape[0]
     start = time.time()
     outs = [fused(variables, *args) for _ in range(reps)]
-    last = [np.asarray(o) for o in outs][-1]
+    # sync the LAST rep only (device execution is serial, so the last
+    # output being readable implies every rep finished) — per-rep
+    # readbacks serialize a ~35 ms tunnel round trip into every rep and
+    # understate the chip rate (see _measure_chain_resident)
+    last = np.asarray(outs[-1])
     elapsed = time.time() - start
     rate = reps * max_batch / elapsed
     tflops = (flops * reps / elapsed / 1e12) if flops else None
@@ -182,11 +186,19 @@ def _measure_chain_resident(model, mean_std, max_batch, shape, scales,
             jnp.float32(3.0), zero, zero, zero, zero)
     out = fused(*call)
     _sync(out)
-    reps = 4
-    start = time.time()
-    outs = [fused(*call) for _ in range(reps)]
-    _ = [_sync(o) for o in outs]
-    return reps * max_batch / (time.time() - start)
+    # sync the LAST rep only: device execution is serial, so the last
+    # output being readable implies every rep finished. Reading each rep's
+    # descriptors (128 KB over the tunnel, ~35 ms) serialized a readback
+    # into every rep and understated the chip rate by ~17% (77 vs 92
+    # img/s measured on the same program).
+    reps = 6
+    best = float("inf")
+    for _ in range(3):
+        start = time.time()
+        outs = [fused(*call) for _ in range(reps)]
+        _sync(outs[-1])
+        best = min(best, time.time() - start)
+    return reps * max_batch / best
 
 
 def _measure_train_step(model, compute_dtype="auto", reps=3):
@@ -392,42 +404,114 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
 
 
 def _measure_mining(model, mean_std, compute_dtype, dtype_guard,
-                    n_images=None, max_batch=16):
-    """Hard-negative-mining extraction rate: the reference's dominant
-    training cost (cirtorch traindataset.py:178-271 re-embeds ~24k images
-    per epoch at image_size 362, single scale). Measures the e2e streaming
-    rate (uint8 ingress over the link, fused device extraction) plus the
-    on-device ranking matmul, scaled down to the harness."""
+                    n_images=None, max_batch=16, probe_mbps=None):
+    """Hard-negative-mining cost, decomposed (the reference's dominant
+    training cost: cirtorch traindataset.py:178-271 re-embeds ~24k images
+    per epoch at image_size 362, single scale, then ranks pool vs queries).
+
+    Returns a dict of fields:
+      mining_imgs_per_sec            e2e streaming rate (uint8 over the
+                                     link + fused extraction + ranking)
+      mining_resident_imgs_per_sec   chip-side rate of the same compiled
+                                     bucket programs on device-staged
+                                     batches — the non-link-bound ceiling
+      mining_rank_s                  on-device ranking (scores matmul +
+                                     argsort) for the full pool
+      mining_budget_*                pass budget of the best e2e pass
+                                     (same partition as the headline pass)
+      mining_epoch_projection_s      24k-image epoch at the e2e rate
+      mining_epoch_resident_s        24k-image epoch at the resident rate
+    """
+    import jax
     import jax.numpy as jnp
 
     from mdir_tpu.ops.ranking import rank_database
-    from mdir_tpu.parallel.extract import extract_vectors_batched
+    from mdir_tpu.parallel.extract import StreamingExtractor
 
-    n_images = n_images or int(os.environ.get("BENCH_MINING_IMAGES", "64"))
+    n_images = n_images or int(os.environ.get("BENCH_MINING_IMAGES", "1024"))
     rng = np.random.RandomState(4)
     shapes = [(271, 362), (362, 271), (362, 362)]
     arrays = [(rng.rand(*shapes[i % 3], 3) * 255).astype(np.uint8)
               for i in range(n_images)]
+    nbytes = sum(a.nbytes for a in arrays)
+    n_q = max(n_images // 10, 1)
 
     def run():
-        vecs = extract_vectors_batched(
-            model, arrays, scales=[1], msp=1.0, max_batch=max_batch,
+        ext = StreamingExtractor(
+            model, scales=[1], msp=1.0, max_batch=max_batch,
             normalize_mean_std=mean_std, compute_dtype=compute_dtype,
             dtype_guard=dtype_guard)
-        # qsize:poolsize ~ 1:10 in production; rank the lot on device
-        n_q = max(n_images // 10, 1)
+        for i, arr in enumerate(arrays):
+            ext.add(i, arr)
+        vecs = ext.finish(len(arrays))
         ranks = rank_database(jnp.asarray(vecs, jnp.float32),
                               jnp.asarray(vecs[:, :n_q], jnp.float32))
-        return vecs, np.asarray(ranks)
+        return vecs, np.asarray(ranks), list(ext.stats or ()), \
+            dict(ext.budget or {})
 
     run()  # compile + warm every bucket program
     elapsed = float("inf")
-    for _ in range(3):
+    best = None
+    for _ in range(2 if n_images >= 512 else 3):
         start = time.time()
-        vecs, _ranks = run()
-        elapsed = min(elapsed, time.time() - start)
+        vecs, _ranks, stats, budget = run()
+        pass_s = time.time() - start
+        if pass_s < elapsed:
+            elapsed, best = pass_s, (start, pass_s, stats, budget)
     assert np.isfinite(vecs).all()
-    return n_images / elapsed
+    out = {"mining_imgs_per_sec": round(n_images / elapsed, 1)}
+    out.update({"mining_" + k: v for k, v in _pass_budget(
+        best[0], best[1], best[2], best[3], nbytes, probe_mbps).items()})
+
+    # chip-side ceiling: same fused programs on device-staged batches
+    # (what mining would run at behind a non-tunnel host), covering all
+    # three aspect buckets the e2e pass compiles
+    from mdir_tpu.ops.dtypes import cast_f32_tree
+    from mdir_tpu.parallel.extract import _get_fused, _round_up
+
+    variables = model.variables
+    if compute_dtype is not None:
+        variables = cast_f32_tree(variables, compute_dtype)
+    fused = _get_fused(model.module, [1], False, True, compute_dtype)
+    mean = jnp.asarray(mean_std[0], jnp.float32)
+    std = jnp.asarray(mean_std[1], jnp.float32)
+    zero = jnp.zeros((0,), jnp.float32)
+    calls = []
+    for hw in shapes:
+        pad = np.zeros((max_batch, _round_up(hw[0], 64),
+                        _round_up(hw[1], 64), 3), np.uint8)
+        pad[:, :hw[0], :hw[1]] = rng.randint(
+            0, 256, (max_batch,) + hw + (3,)).astype(np.uint8)
+        valid = jnp.asarray(np.tile(np.asarray([hw], np.int32),
+                                    (max_batch, 1)))
+        calls.append((jax.device_put(pad), valid, (None,), None, None,
+                      jnp.float32(1.0), zero, zero, mean, std))
+    outs = [fused(variables, *c) for c in calls]
+    _ = [_sync(o) for o in outs]  # compile + warm
+    reps = 4
+    start = time.time()
+    for _rep in range(reps):
+        outs = [fused(variables, *c) for c in calls]
+    _ = [_sync(o) for o in outs]
+    res_elapsed = time.time() - start
+    out["mining_resident_imgs_per_sec"] = round(
+        reps * max_batch * len(calls) / res_elapsed, 1)
+
+    # ranking alone (pool x queries scores + argsort), pipelined sync
+    db = jnp.asarray(vecs, jnp.float32)
+    q = jnp.asarray(vecs[:, :n_q], jnp.float32)
+    ranked = jax.jit(rank_database)
+    _sync(ranked(db, q))
+    start = time.time()
+    rank_outs = [ranked(db, q) for _ in range(4)]
+    _sync(rank_outs[-1])
+    out["mining_rank_s"] = round((time.time() - start) / 4, 4)
+
+    out["mining_epoch_projection_s"] = round(
+        24000 / out["mining_imgs_per_sec"], 1)
+    out["mining_epoch_resident_s"] = round(
+        24000 / out["mining_resident_imgs_per_sec"], 1)
+    return out
 
 
 def _pass_budget(pass_start, wall, stats, budget, nbytes, probe_mbps):
@@ -847,9 +931,10 @@ def main():
         # the reference's dominant training cost: per-epoch hard-negative
         # mining re-embeds ~24k images at image_size 362 (SURVEY §3.4)
         try:
-            result["mining_imgs_per_sec"] = round(_measure_mining(
+            result.update(_measure_mining(
                 model, mean_std, compute_dtype, dtype_guard,
-                max_batch=max_batch), 1)
+                max_batch=max_batch,
+                probe_mbps=result.get("tunnel_mbps", 0) or None))
         except Exception as exc:
             result["mining_error"] = str(exc)[:200]
 

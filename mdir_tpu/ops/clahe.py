@@ -326,8 +326,18 @@ def _hist_dynamic(padded, row_tile, col_tile, gh, gw, chunk=16):
     absorb the padded region and are dropped.
     """
     bh, bw = padded.shape
+    # bf16 holds integers <= 256 exactly; a real (non-sentinel) column
+    # tile spans at most ceil(bw/gw) + 1 pixels, so for the default 8x8
+    # grid at <=2k widths the count operand is bf16-exact. Wider tiles
+    # (small grids) keep the f32 + HIGHEST contraction instead. Static
+    # branch: bw/gw are trace-time constants.
+    # (CPU XLA lacks a bf16 x bf16 = f32 kernel for this contraction shape;
+    # tests force CPU, so the bf16 fast path is accelerator-only)
+    exact_bf16 = ((bw + gw) // gw + 1 <= 256
+                  and jax.default_backend() != "cpu")
     colhot = jax.nn.one_hot(col_tile, gw + 1, dtype=jnp.bfloat16)
-    rowhot = jax.nn.one_hot(row_tile, gh + 1, dtype=jnp.float32)
+    rowhot = jax.nn.one_hot(row_tile, gh + 1,
+                            dtype=jnp.bfloat16 if exact_bf16 else jnp.float32)
     chunk = min(chunk, bh)
     while bh % chunk:
         chunk -= 1
@@ -337,15 +347,23 @@ def _hist_dynamic(padded, row_tile, col_tile, gh, gw, chunk=16):
     def body(acc, xs):
         vals, rhot = xs
         onehot = jax.nn.one_hot(vals, HIST_SIZE, dtype=jnp.bfloat16)
-        # exact: 0/1 products, f32 accumulation. precision=HIGHEST on the
-        # second contraction is load-bearing: per_col_tile carries counts
-        # beyond bf16's exact-integer range, and XLA may otherwise demote
-        # the f32 operand to bf16 at some shapes
+        # exact by operand representability alone (no reliance on XLA
+        # precision modes, which demote f32 operands to bf16 at some
+        # shapes): both contractions are 0/1-weighted integer sums with
+        # f32 accumulation. per_col_tile[r, t, b] counts pixels of one
+        # image row inside one column tile — at most the tile width
+        # (<= bucket_w/gw + pad < 256), so it is bf16-exact; the sentinel
+        # column (index gw) can exceed 256 for narrow images in a wide
+        # bucket, but that slice is dropped below before use.
         per_col_tile = jnp.einsum("rwb,wt->rtb", onehot, colhot,
                                   preferred_element_type=jnp.float32)
-        h = jnp.einsum("rtb,rg->gtb", per_col_tile, rhot,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        if exact_bf16:
+            h = jnp.einsum("rtb,rg->gtb", per_col_tile.astype(jnp.bfloat16),
+                           rhot, preferred_element_type=jnp.float32)
+        else:
+            h = jnp.einsum("rtb,rg->gtb", per_col_tile, rhot,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         return acc + h, None
 
     hist, _ = jax.lax.scan(
@@ -394,6 +412,11 @@ def _interp_dynamic(vals, luts, inv_th, inv_tw, gh, gw, chunk=16):
     bh, bw = vals.shape
     wy1, wy2 = _axis_tile_weights(bh, inv_th, gh)  # (BH, gh) each
     wx1, wx2 = _axis_tile_weights(bw, inv_tw, gw)  # (BW, gw) each
+    # LUT entries are rounded integers in [0, 255] — bf16-exact (integers
+    # <= 256 hold exactly in bf16's 8-bit mantissa), so the lookup matmul
+    # can run as a pure bf16 MXU contraction with f32 accumulation instead
+    # of a mixed bf16 x f32 one that XLA upcasts to a multi-pass f32 matmul
+    luts = luts.astype(jnp.bfloat16)
 
     chunk = min(chunk, bh)
     while bh % chunk:
