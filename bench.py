@@ -403,6 +403,86 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
     return rate, tflops, compute_dtype or "float32"
 
 
+def _measure_composed_e2e(reps=3, hw=(768, 1024), max_batch=None):
+    """e2e streaming rate of the composition workload over the tunnel:
+    uint8 ingress -> device normalize -> p2p U-Net translation at
+    pad-divisible full res -> VGG16-GeM multiscale embedding, through the
+    PRODUCTION ``extract_vectors_composed`` path (the eval_composition.yml
+    pipeline; reference eval_composition.yml:1-11, SequentialNetwork fwd
+    network.py:227-236). Best of ``reps`` passes, each scored against an
+    adjacent tunnel probe; returns the bench fields incl. the best pass's
+    budget decomposition."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning.network import (CirNetwork, Network,
+                                           SequentialNetwork, SingleNetwork)
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.parallel.extract import extract_vectors_composed
+
+    n_images = int(os.environ.get("BENCH_COMPOSED_E2E_IMAGES", "12"))
+    max_batch = max_batch or int(os.environ.get("BENCH_COMPOSED_BATCH", "4"))
+    t_params = {"architecture": "p2p_unet", "in_channels": 3,
+                "out_channels": 3}
+    e_params = {"architecture": "cirnet", "cir_architecture": "vgg16",
+                "local_whitening": False, "pooling": "gem", "regional": False,
+                "whitening": False, "pretrained": False}
+    translator = SingleNetwork(
+        initialize_model(dict(t_params)),
+        SingleNetwork.NetworkParams(model=t_params,
+                                    runtime={"wrappers": ""}))
+    # the paper U-Net's eval wrapper: centered reflect-pad to the net's
+    # 7-stride-2 divisor (128)
+    translator.wrappers = Network.initialize_wrappers(
+        "reflectpad_divisible:128")
+    embedder = CirNetwork(
+        initialize_model(dict(e_params)),
+        CirNetwork.NetworkParams(
+            model=e_params,
+            runtime={"wrappers": {"train": None,
+                                  "eval": {"0_cirmultiscale":
+                                           {"scales": True}}}}))
+    network = SequentialNetwork({"translate": translator, "embed": embedder},
+                                ["translate", "embed"]).eval()
+
+    mean_std = (embedder.model.meta["mean"], embedder.model.meta["std"])
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      [list(mean_std[0]), list(mean_std[1])])
+    rng = np.random.RandomState(7)
+    arrays = [rng.randint(0, 256, hw + (3,)).astype(np.uint8)
+              for _ in range(n_images)]
+    nbytes = sum(a.nbytes for a in arrays)
+    probe = np.concatenate([a.reshape(-1) for a in arrays[:max_batch]])
+
+    def run():
+        instrument = {}
+        vecs = extract_vectors_composed(network, arrays, hw[1], transform,
+                                        max_batch=max_batch,
+                                        instrument=instrument)
+        return vecs, instrument
+
+    run()  # compile + warm (incl. the first-chunk f32 dtype cross-check)
+    elapsed, sat, best_budget = float("inf"), 0.0, {}
+    for _ in range(reps):
+        start = time.time()
+        vecs, instrument = run()
+        pass_elapsed = time.time() - start
+        pass_tunnel = _measure_tunnel(probe, reps=1)
+        pass_rate = nbytes / pass_elapsed / 1e6
+        sat = max(sat, pass_rate / max(pass_tunnel, pass_rate))
+        if pass_elapsed < elapsed:
+            elapsed = pass_elapsed
+            best_budget = _pass_budget(start, pass_elapsed,
+                                       instrument.get("stats"),
+                                       instrument.get("budget"), nbytes,
+                                       pass_tunnel)
+    assert np.isfinite(vecs).all()
+    out = {"composed_e2e_imgs_per_sec": round(n_images / elapsed, 2),
+           "composed_ingress_saturation": round(sat, 2)}
+    out.update({"composed_" + k: v for k, v in best_budget.items()})
+    return out
+
+
 def _measure_mining(model, mean_std, compute_dtype, dtype_guard,
                     n_images=None, max_batch=16, probe_mbps=None):
     """Hard-negative-mining cost, decomposed (the reference's dominant
@@ -961,6 +1041,13 @@ def main():
                         comp_tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 3)
             except Exception as exc:
                 result["composed_error"] = str(exc)[:200]
+
+            # e2e variant: the same workload streamed over the tunnel
+            # through the production extract_vectors_composed path
+            try:
+                result.update(_measure_composed_e2e())
+            except Exception as exc:
+                result["composed_e2e_error"] = str(exc)[:200]
 
     print(json.dumps(result))
     return 0

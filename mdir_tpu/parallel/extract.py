@@ -237,9 +237,6 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
             # padded cells must be zero in normalized space
             batch = apply_valid_mask(batch, valid_hw)
 
-        if compute_dtype is not None:
-            batch = batch.astype(compute_dtype)
-
         acc = None
         for s_idx, scale in enumerate(scales):
             if scale == 1:
@@ -256,6 +253,12 @@ def _fused_extract_fn(module, scales, has_whiten, device_normalize,
                 wx = xpack[..., 2]
                 x = apply_valid_mask(
                     jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx), v)
+            # cast at the conv boundary, AFTER the f32-exact resize: the
+            # f32 interp weights would otherwise silently promote a
+            # pre-cast batch back to f32 (JAX type promotion), running the
+            # non-unit scales' convs full-precision despite the bf16 trees
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
             if needs_boxes:
                 vecs = module.apply(variables, x, valid_hw=v,
                                     region_boxes=boxes[s_idx])  # (B, D)
@@ -783,8 +786,8 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
     opts extraction into bf16 trunk compute. ``mesh`` batch-shards each
     chunk across a device mesh (DP extraction, SURVEY §2.12) — reachable
     from the validate-stage yaml via the score's ``parallel: {data: N}``;
-    honored on the single-net fused path (composed/fallback paths run
-    single-device).
+    honored on the single-net fused path AND the 2-net composed path (the
+    per-image wrapper fallback runs single-device).
     """
     import os
 
@@ -796,7 +799,7 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
     if analyzed is not None and _composable_sequential(network):
         return extract_vectors_composed(network, images, image_size,
                                         transform, bbxs=bbxs,
-                                        max_batch=batch_size)
+                                        max_batch=batch_size, mesh=mesh)
 
     model = network.model
     if analyzed is not None and getattr(model, "is_descriptor_model", False) \
@@ -905,8 +908,6 @@ def _composed_fused_fn(translator, embedder, device_normalize,
         if device_normalize:
             batch = batch.astype(jnp.float32) / 255.0
             batch = (batch - mean) / std
-        if compute_dtype is not None:
-            batch = batch.astype(compute_dtype)
         # packed (B, P, 4) f32 per axis: [idx0, idx1, weight, unpad-shift]
         y0 = ypack[..., 0].astype(jnp.int32)
         y1 = ypack[..., 1].astype(jnp.int32)
@@ -916,6 +917,12 @@ def _composed_fused_fn(translator, embedder, device_normalize,
         wx = xpack[..., 2]
         # scaled + replicate-padded translator input, one gather
         xpad = jax.vmap(_resize_one)(batch, y0, y1, wy, x0, x1, wx)
+        # cast AFTER the f32-exact resize: the f32 interp weights would
+        # promote a pre-cast batch back to f32, and the U-Net's raw
+        # lax.conv_transpose then hard-errors on f32 input x bf16 kernel
+        # (observed on chip; flax convs only silently de-optimize)
+        if compute_dtype is not None:
+            xpad = xpad.astype(compute_dtype)
         if t_takes_train:
             t_out = t_module.apply(t_vars, xpad, train=False)
         else:
@@ -923,10 +930,14 @@ def _composed_fused_fn(translator, embedder, device_normalize,
         # un-pad: shift the translated crop to the origin
         ys = ypack[..., 3].astype(jnp.int32)
         xs = xpack[..., 3].astype(jnp.int32)
-        zero_y = jnp.zeros(ys.shape, jnp.float32)
-        zero_x = jnp.zeros(xs.shape, jnp.float32)
+        # zero weights (a pure gather) in t_out's dtype so a bf16 translator
+        # output stays bf16 into the embedder
+        zero_y = jnp.zeros(ys.shape, t_out.dtype)
+        zero_x = jnp.zeros(xs.shape, t_out.dtype)
         t0 = jax.vmap(_resize_one)(t_out, ys, ys, zero_y, xs, xs, zero_x)
         t0 = apply_valid_mask(t0, valid_scaled)
+        if compute_dtype is not None:
+            t0 = t0.astype(compute_dtype)
         vecs = e_module.apply(e_vars, t0, valid_hw=valid_scaled)  # (B, D)
         return vecs.astype(jnp.float32) ** msp
 
@@ -950,9 +961,30 @@ def _get_composed(translator, embedder, device_normalize, compute_dtype=None,
 
 def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
                              max_batch=MAX_BATCH,
-                             bucket_multiple=BUCKET_MULTIPLE):
-    """Bucketed exact extraction for a 2-net SequentialNetwork composition."""
+                             bucket_multiple=BUCKET_MULTIPLE,
+                             instrument=None, mesh=None):
+    """Bucketed exact extraction for a 2-net SequentialNetwork composition.
+
+    ``images`` is a list of paths, or (for callers that already hold decoded
+    pixels, e.g. bench.py's composed e2e pass) raw uint8 HWC arrays — the
+    array form requires the device-normalize chain (plain
+    pil2np|totensor|normalize), the same contract as StreamingExtractor.
+    ``instrument``, when a dict, receives the same per-chunk ``stats`` and
+    pass-level ``budget`` fields StreamingExtractor collects under
+    MDIR_TPU_UPLINK_STATS, so a caller can decompose a composed pass's wall
+    time exactly like the single-net passes.
+    ``mesh`` batch-shards every chunk across a device mesh (DP extraction
+    over both nets, params replicated), the same scale-out scheme as the
+    single-net path — reachable from the validate-stage yaml's
+    ``parallel: {data: N}`` through extract_vectors_network.
+    """
     from ..learning.wrappers import ReflectPadMakeDivisible
+
+    stats = [] if instrument is not None else None
+    budget = {} if instrument is not None else None
+    if instrument is not None:
+        instrument["stats"] = stats
+        instrument["budget"] = budget
 
     first_name, last_name = network.sequence
     first = network.networks[first_name]
@@ -973,12 +1005,17 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
 
     mean_std = _plain_normalize_chain(transform)
     device_normalize = mean_std is not None and len(mean_std[0]) == 3
+    preloaded = len(images) > 0 and isinstance(images[0], np.ndarray)
     if device_normalize:
-        loader = _stream_images_uint8(images, image_size, bbxs)
+        loader = iter(images) if preloaded \
+            else _stream_images_uint8(images, image_size, bbxs)
         mean = jnp.asarray(mean_std[0], jnp.float32)
         std = jnp.asarray(mean_std[1], jnp.float32)
         host_dtype = np.uint8
     else:
+        if preloaded:
+            raise ValueError("array inputs require a plain "
+                             "pil2np|totensor|normalize transform chain")
         loader = _stream_images(images, image_size, transform, bbxs)
         mean = std = jnp.zeros((0,), jnp.float32)
         host_dtype = np.float32
@@ -1016,6 +1053,20 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
         "guard_pending": guard_pending,
     }
 
+    if mesh is not None:
+        from .mesh import batch_sharding, replicated
+
+        shard = batch_sharding(mesh)
+        n_dev = mesh.devices.size
+        max_batch = _round_up(max_batch, n_dev)
+        state["t_vars"] = jax.device_put(state["t_vars"], replicated(mesh))
+        state["e_vars"] = jax.device_put(state["e_vars"], replicated(mesh))
+        t_vars_f32 = jax.device_put(t_vars_f32, replicated(mesh))
+        e_vars_f32 = jax.device_put(e_vars_f32, replicated(mesh))
+    else:
+        shard = None
+        n_dev = 1
+
     def padded_shape(sh, sw):
         ph = -(-sh // divisor) * divisor
         pw = -(-sw // divisor) * divisor
@@ -1028,8 +1079,20 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
     results = []
 
     def launch(indices, batch, valid, ypack, xpack):
-        args = (jnp.asarray(batch), jnp.asarray(valid), jnp.asarray(ypack),
-                jnp.asarray(xpack), mean, std, jnp.float32(msp))
+        put = jnp.asarray if shard is None \
+            else (lambda a: jax.device_put(a, shard))
+        entry = {"bytes": batch.nbytes} if stats is not None else None
+        t0 = time.time() if entry is not None else 0.0
+        dev_batch = put(batch)
+        t1 = time.time() if entry is not None else 0.0
+        args = (dev_batch, put(valid), put(ypack), put(xpack),
+                mean, std, jnp.float32(msp))
+        if entry is not None:
+            # same async-put semantics as StreamingExtractor: put_s is
+            # dispatch time, the wire drains in the pass's sync tail
+            entry.update({"batch_put_s": t1 - t0, "aux_pack_s": 0.0,
+                          "aux_put_s": time.time() - t1})
+        t4 = time.time() if entry is not None else 0.0
         vecs = state["fused"](state["t_vars"], state["e_vars"], *args)
         if state["guard_pending"]:
             # first-chunk f32 cross-check (the uplink launches the first
@@ -1047,13 +1110,22 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
                 state["fused"], state["t_vars"], state["e_vars"] = \
                     f32_fused, t_vars_f32, e_vars_f32
                 vecs = exact
+        if entry is not None:
+            entry["launch_s"] = time.time() - t4
+            entry["t_done"] = time.time()
+            stats.append(entry)
         results.append((indices, vecs))
 
-    uplink = _Uplink(launch, barrier_first=guard_pending)
+    uplink = _Uplink(launch, barrier_first=guard_pending, budget=budget)
 
     def submit(key, items):
+        t_sub = time.time() if budget is not None else 0.0
+        if budget is not None and "t_first_submit" not in budget:
+            budget["t_first_submit"] = t_sub
         scale, _rb, (ph, pw) = key
-        bsz = len(items)
+        # pad to the device count so every chunk batch-shards evenly;
+        # padding rows carry (1, 1) valid extents and are never read back
+        bsz = _round_up(len(items), n_dev)
         channels = items[0][1].shape[-1]
         rh_b, rw_b = key[1]
         batch = np.zeros((bsz, rh_b, rw_b, channels), host_dtype)
@@ -1089,6 +1161,9 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
             ypack[bi, :, 3] = np.clip(np.arange(ph) + top, 0, ph - 1)
             xpack[bi, :, 3] = np.clip(np.arange(pw) + left, 0, pw - 1)
 
+        if budget is not None:
+            budget["assembly_s"] = \
+                budget.get("assembly_s", 0.0) + (time.time() - t_sub)
         uplink.submit(([i for i, _ in items], batch, valid, ypack, xpack))
 
     for i, arr in enumerate(loader):
@@ -1104,12 +1179,20 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
                 submit(key, buffers.pop(key))
     for key in list(buffers.keys()):
         submit(key, buffers.pop(key))
+    t_drain = time.time() if budget is not None else 0.0
     uplink.drain()
+    if budget is not None:
+        budget["t_drain_start"] = t_drain
+        budget["drain_s"] = time.time() - t_drain
 
+    t_sync = time.time() if budget is not None else 0.0
     for indices, vecs in results:
         host = np.asarray(vecs, np.float64)
         for bi, i in enumerate(indices):
             acc[i] += host[bi]
+    if budget is not None:
+        budget["sync_s"] = time.time() - t_sync
+        budget["t_end"] = time.time()
 
     acc = (acc / len(scales)) ** (1.0 / msp)
     acc = acc / np.linalg.norm(acc, axis=1, keepdims=True)

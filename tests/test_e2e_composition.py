@@ -450,3 +450,168 @@ def test_sequential_overlay_params(composed_checkpoint):
     img = np.zeros((64, 64, 3), np.float32)
     out = np.asarray(overlay(img))
     assert out.shape[0] == 256 and np.isfinite(out).all()
+
+
+def test_composed_bf16_p2p_unet_conv_transpose(rng, tmp_path, monkeypatch):
+    """bf16 composition with a REAL p2p U-Net translator must run.
+
+    Regression for a chip-only failure: the composed fused fn cast the
+    batch to bf16 before the f32-weight resize, which promoted it back to
+    f32, and the U-Net's raw lax.conv_transpose (unlike flax convs, which
+    silently de-optimize) hard-errors on f32 input x bf16 kernel. The CPU
+    fixtures only used flax-conv translators, so this never fired off-chip
+    (BENCH r4 capture: composed_error 'lax.conv_general_dilated requires
+    arguments to have the same dtypes')."""
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning.network import (CirNetwork, Network,
+                                           SequentialNetwork, SingleNetwork)
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.parallel.extract import extract_vectors_composed
+
+    t_params = {"architecture": "p2p_unet", "in_channels": 3,
+                "out_channels": 3, "nested_levels": 2}
+    translator = SingleNetwork(
+        initialize_model(dict(t_params)),
+        SingleNetwork.NetworkParams(model=t_params,
+                                    runtime={"wrappers": ""}))
+    translator.wrappers = Network.initialize_wrappers(
+        "reflectpad_divisible:8")
+    e_params = {"architecture": "cirnet", "cir_architecture": "alexnet",
+                "local_whitening": False, "pooling": "gem", "regional": False,
+                "whitening": False, "pretrained": False}
+    embedder = CirNetwork(
+        initialize_model(dict(e_params)),
+        CirNetwork.NetworkParams(
+            model=e_params,
+            runtime={"wrappers": {"train": None,
+                                  "eval": {"0_cirmultiscale":
+                                           {"scales": False}}}}))
+    network = SequentialNetwork({"translate": translator, "embed": embedder},
+                                ["translate", "embed"]).eval()
+
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      [[0.5] * 3, [0.5] * 3])
+    arrays = [(rng.rand(64, 80, 3) * 255).astype(np.uint8) for _ in range(2)]
+
+    f32 = extract_vectors_composed(network, arrays, 80, transform,
+                                   max_batch=2)
+    monkeypatch.setenv("MDIR_TPU_COMPUTE_DTYPE", "bfloat16")
+    bf16 = extract_vectors_composed(network, arrays, 80, transform,
+                                    max_batch=2)
+    cos = (f32 * bf16).sum(axis=0) / (
+        np.linalg.norm(f32, axis=0) * np.linalg.norm(bf16, axis=0))
+    assert (cos > 0.99).all(), cos
+
+
+def test_composed_array_inputs_and_instrumentation(composed_checkpoint, rng,
+                                                   tmp_path):
+    """Pre-decoded uint8 array inputs (the bench e2e contract) must equal
+    the path-loaded run exactly, and the ``instrument`` dict must carry the
+    StreamingExtractor-shaped per-chunk stats + pass budget."""
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning import load_network
+    from mdir_tpu.learning.network import Network
+    from mdir_tpu.parallel.extract import extract_vectors_composed
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network(
+        {"path": str(ckpt_dir),
+         "runtime": {"wrappers": {
+             "train": None,
+             "eval": {"0_cirmultiscale": {"scales": True}}}}}).eval()
+    network.networks["translate"].wrappers = Network.initialize_wrappers(
+        "reflectpad_divisible:32")
+
+    mean_std = [[0.5] * 3, [0.5] * 3]
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+
+    # max side == image_size and lossless PNG: the loader path passes the
+    # pixels through untouched, so both runs see identical inputs
+    arrays, paths = [], []
+    for i, (h, w) in enumerate([(96, 128), (128, 96), (100, 90), (96, 128)]):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        p = tmp_path / ("arr%d.png" % i)
+        Image.fromarray(arr).save(p)
+        arrays.append(arr)
+        paths.append(str(p))
+
+    from_paths = extract_vectors_composed(network, paths, 128, transform,
+                                          max_batch=2)
+    instrument = {}
+    from_arrays = extract_vectors_composed(network, arrays, 128, transform,
+                                           max_batch=2,
+                                           instrument=instrument)
+    np.testing.assert_array_equal(from_paths, from_arrays)
+
+    stats, budget = instrument["stats"], instrument["budget"]
+    assert stats, "instrumented run recorded no chunks"
+    for key in ("bytes", "batch_put_s", "aux_put_s", "launch_s", "t_done"):
+        assert key in stats[0], key
+    # producer-timeline ordering + non-negative intervals (same contract as
+    # StreamingExtractor's budget, consumed by bench._pass_budget)
+    assert budget["t_first_submit"] <= budget["t_drain_start"] \
+        <= budget["t_end"]
+    for key in ("assembly_s", "drain_s", "sync_s"):
+        assert budget[key] >= 0.0
+
+    # array inputs require the device-normalize chain
+    with pytest.raises(ValueError):
+        extract_vectors_composed(
+            network, arrays, 128,
+            initialize_transforms("pil2np | totensor", mean_std))
+
+
+def test_bench_composed_e2e_smoke(monkeypatch):
+    """bench._measure_composed_e2e runs end-to-end on CPU at tiny shapes
+    (network construction, array streaming, budget fields)."""
+    import bench
+
+    monkeypatch.setenv("BENCH_COMPOSED_E2E_IMAGES", "2")
+    out = bench._measure_composed_e2e(reps=1, hw=(128, 128), max_batch=2)
+    assert out["composed_e2e_imgs_per_sec"] > 0
+    assert 0.0 <= out["composed_ingress_saturation"] <= 1.0
+    assert out["composed_budget_wall_s"] > 0
+    assert "composed_downstream_wait_frac" in out
+
+
+def test_composed_extraction_sharded_mesh_parity(composed_checkpoint, rng,
+                                                 tmp_path):
+    """Composed (translator -> embedder) extraction batch-sharded over an
+    8-device CPU mesh must match the single-device run (DP scale-out parity
+    for the composition workload, SURVEY 2.12)."""
+    from PIL import Image
+
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.learning import load_network
+    from mdir_tpu.learning.network import Network
+    from mdir_tpu.parallel.extract import extract_vectors_composed
+    from mdir_tpu.parallel.mesh import make_mesh
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network(
+        {"path": str(ckpt_dir),
+         "runtime": {"wrappers": {
+             "train": None,
+             "eval": {"0_cirmultiscale": {"scales": True}}}}}).eval()
+    network.networks["translate"].wrappers = Network.initialize_wrappers(
+        "reflectpad_divisible:32")
+
+    mean_std = [[0.5] * 3, [0.5] * 3]
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+    paths = []
+    for i, (h, w) in enumerate([(96, 128), (96, 128), (128, 96)]):
+        p = tmp_path / ("m%d.jpg" % i)
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            p, quality=95)
+        paths.append(str(p))
+
+    single = extract_vectors_composed(network, paths, 128, transform,
+                                      max_batch=2)
+    sharded = extract_vectors_composed(network, paths, 128, transform,
+                                       max_batch=2, mesh=make_mesh(8))
+    assert np.isfinite(sharded).all()
+    np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-6)

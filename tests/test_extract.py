@@ -142,6 +142,37 @@ def test_bf16_extraction_close(rng, alexnet_model):
     assert (cos > 0.995).all(), cos
 
 
+def test_bf16_multiscale_convs_stay_bf16(rng, alexnet_model):
+    """Every conv in the bf16 multiscale fused program must run bf16.
+
+    Regression: the f32 interp weights of the non-unit scales' resize used
+    to silently promote the pre-cast bf16 batch back to f32 (JAX type
+    promotion), so flax convs ran those scales full-precision — invisible
+    on CPU, a straight perf loss on the MXU. The cast now happens at the
+    conv boundary, after the f32-exact resize."""
+    from mdir_tpu.ops import dtypes as dtype_policy
+    from mdir_tpu.parallel.extract import _fused_extract_fn
+
+    model = alexnet_model
+    fn = _fused_extract_fn(model.module, (1, 0.5), False, False, "bfloat16")
+    variables = dtype_policy.cast_f32_tree(model.variables, "bfloat16")
+    batch = jnp.zeros((2, 64, 80, 3), jnp.float32)
+    valid = jnp.asarray([[64, 80], [48, 72]], jnp.int32)
+    grids = (None,
+             (jnp.zeros((2, 32, 3), jnp.float32),
+              jnp.zeros((2, 40, 3), jnp.float32),
+              jnp.asarray([[32, 40], [24, 36]], jnp.int32)))
+    zero = jnp.zeros((), jnp.float32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda v, b, vh, g: fn(v, b, vh, g, None, None, jnp.float32(3.0),
+                               zero, zero, zero, zero))(
+        variables, batch, valid, grids))
+    f32_convs = [ln for ln in jaxpr.splitlines()
+                 if "conv_general_dilated" in ln and " f32[" in ln.split("=")[0]]
+    assert not f32_convs, f32_convs[:3]
+    assert "conv_general_dilated" in jaxpr  # the probe saw the convs at all
+
+
 def test_device_clahe_chain_path(rng, alexnet_model, tmp_path):
     """Production wiring of the device photometric chain: a CLAHE transform
     chain extracts from raw uint8 ingress with CLAHE fused on device
