@@ -328,8 +328,7 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
 
     from mdir_tpu.models import initialize_model
     from mdir_tpu.ops.dtypes import cast_f32_tree, resolve_compute_dtype
-    from mdir_tpu.ops.resize import torch_resize_grid
-    from mdir_tpu.parallel.extract import _get_composed, _identity_grid
+    from mdir_tpu.parallel.extract import _get_composed, composed_pack_grids
 
     batch = batch or int(os.environ.get("BENCH_COMPOSED_BATCH", "4"))
     t_model = initialize_model({"architecture": "p2p_unet",
@@ -346,7 +345,10 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
     fused = _get_composed(t_model, e_model, True, compute_dtype)
 
     rh, rw = hw
-    divisor = 128  # p2p U-Net: 7 stride-2 stages
+    # p2p U-Net: 8 stride-2 downsamplings (the outer down_0 conv + 7 nested
+    # levels), so spatial dims must be divisible by 256 — 128 leaves an odd
+    # extent at the bottom level and the skip-concat shape-errors
+    divisor = 256
     rng = np.random.RandomState(6)
     dev_batch = jax.device_put(
         rng.randint(0, 256, (batch, rh, rw, 3)).astype(np.uint8))
@@ -359,25 +361,12 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
         sh = int(math.floor(rh * scale)) if scale != 1 else rh
         sw = int(math.floor(rw * scale)) if scale != 1 else rw
         ph, pw = -(-sh // divisor) * divisor, -(-sw // divisor) * divisor
-        top = int(np.floor((ph - sh) / 2.0))
-        left = int(np.floor((pw - sw) / 2.0))
-        if scale == 1:
-            gy0, gy1, gwy = _identity_grid(sh)
-            gx0, gx1, gwx = _identity_grid(sw)
-        else:
-            gy0, gy1, gwy = torch_resize_grid(rh, sh, scale)
-            gx0, gx1, gwx = torch_resize_grid(rw, sw, scale)
-        ypack = np.zeros((batch, ph, 4), np.float32)
-        xpack = np.zeros((batch, pw, 4), np.float32)
-        sy = np.clip(np.arange(ph) - top, 0, sh - 1)
-        sx = np.clip(np.arange(pw) - left, 0, sw - 1)
-        ypack[:, :, 0], ypack[:, :, 1], ypack[:, :, 2] = \
-            gy0[sy], gy1[sy], gwy[sy]
-        xpack[:, :, 0], xpack[:, :, 1], xpack[:, :, 2] = \
-            gx0[sx], gx1[sx], gwx[sx]
-        ypack[:, :, 3] = np.clip(np.arange(ph) + top, 0, ph - 1)
-        xpack[:, :, 3] = np.clip(np.arange(pw) + left, 0, pw - 1)
-        valid = jnp.asarray(np.tile(np.array([[sh, sw]], np.int32),
+        # the production transfer geometry, verbatim (shared helper)
+        yrow, xrow, valid_hw = composed_pack_grids(rh, rw, scale, divisor,
+                                                   ph, pw)
+        ypack = np.tile(yrow[None], (batch, 1, 1))
+        xpack = np.tile(xrow[None], (batch, 1, 1))
+        valid = jnp.asarray(np.tile(np.array([valid_hw], np.int32),
                                     (batch, 1)))
         call = (dev_batch, valid, jnp.asarray(ypack), jnp.asarray(xpack),
                 mean, std, msp)
@@ -432,9 +421,9 @@ def _measure_composed_e2e(reps=3, hw=(768, 1024), max_batch=None):
         SingleNetwork.NetworkParams(model=t_params,
                                     runtime={"wrappers": ""}))
     # the paper U-Net's eval wrapper: centered reflect-pad to the net's
-    # 7-stride-2 divisor (128)
+    # divisor of 256 (8 stride-2 downsamplings: down_0 + 7 nested levels)
     translator.wrappers = Network.initialize_wrappers(
-        "reflectpad_divisible:128")
+        "reflectpad_divisible:256")
     embedder = CirNetwork(
         initialize_model(dict(e_params)),
         CirNetwork.NetworkParams(
@@ -468,13 +457,19 @@ def _measure_composed_e2e(reps=3, hw=(768, 1024), max_batch=None):
         vecs, instrument = run()
         pass_elapsed = time.time() - start
         pass_tunnel = _measure_tunnel(probe, reps=1)
-        pass_rate = nbytes / pass_elapsed / 1e6
+        # shipped bytes from the per-chunk stats, NOT n_images x nbytes: the
+        # composed path transfers the full raw batch once PER SCALE (each
+        # scale pads to a different translator shape), so the wire carries
+        # ~3x the image bytes and a rate computed from nbytes would read a
+        # saturated link as ~0.33
+        shipped = sum(e["bytes"] for e in instrument["stats"]) or nbytes
+        pass_rate = shipped / pass_elapsed / 1e6
         sat = max(sat, pass_rate / max(pass_tunnel, pass_rate))
         if pass_elapsed < elapsed:
             elapsed = pass_elapsed
             best_budget = _pass_budget(start, pass_elapsed,
                                        instrument.get("stats"),
-                                       instrument.get("budget"), nbytes,
+                                       instrument.get("budget"), shipped,
                                        pass_tunnel)
     assert np.isfinite(vecs).all()
     out = {"composed_e2e_imgs_per_sec": round(n_images / elapsed, 2),

@@ -331,11 +331,14 @@ def _hist_dynamic(padded, row_tile, col_tile, gh, gw, chunk=16):
     # grid at <=2k widths the count operand is bf16-exact. Wider tiles
     # (small grids) keep the f32 + HIGHEST contraction instead. Static
     # branch: bw/gw are trace-time constants.
-    # (CPU XLA lacks a bf16 x bf16 = f32 kernel for this contraction shape;
-    # tests force CPU, so the bf16 fast path is accelerator-only)
-    exact_bf16 = ((bw + gw) // gw + 1 <= 256
-                  and jax.default_backend() != "cpu")
-    colhot = jax.nn.one_hot(col_tile, gw + 1, dtype=jnp.bfloat16)
+    # (CPU XLA lacks a bf16 x bf16 = f32 DotThunk at SOME shapes — observed
+    # crashing for bucket sides 32-48, passing >= 64 — so on CPU EVERY
+    # contraction in this file stays f32 + HIGHEST; tests force CPU and f32
+    # is exact there, the bf16 fast path is accelerator-only)
+    on_cpu = jax.default_backend() == "cpu"
+    exact_bf16 = ((bw + gw) // gw + 1 <= 256) and not on_cpu
+    onehot_dtype = jnp.float32 if on_cpu else jnp.bfloat16
+    colhot = jax.nn.one_hot(col_tile, gw + 1, dtype=onehot_dtype)
     rowhot = jax.nn.one_hot(row_tile, gh + 1,
                             dtype=jnp.bfloat16 if exact_bf16 else jnp.float32)
     chunk = min(chunk, bh)
@@ -346,7 +349,7 @@ def _hist_dynamic(padded, row_tile, col_tile, gh, gw, chunk=16):
 
     def body(acc, xs):
         vals, rhot = xs
-        onehot = jax.nn.one_hot(vals, HIST_SIZE, dtype=jnp.bfloat16)
+        onehot = jax.nn.one_hot(vals, HIST_SIZE, dtype=onehot_dtype)
         # exact by operand representability alone (no reliance on XLA
         # precision modes, which demote f32 operands to bf16 at some
         # shapes): both contractions are 0/1-weighted integer sums with
@@ -355,8 +358,10 @@ def _hist_dynamic(padded, row_tile, col_tile, gh, gw, chunk=16):
         # (<= bucket_w/gw + pad < 256), so it is bf16-exact; the sentinel
         # column (index gw) can exceed 256 for narrow images in a wide
         # bucket, but that slice is dropped below before use.
-        per_col_tile = jnp.einsum("rwb,wt->rtb", onehot, colhot,
-                                  preferred_element_type=jnp.float32)
+        per_col_tile = jnp.einsum(
+            "rwb,wt->rtb", onehot, colhot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if on_cpu else None)
         if exact_bf16:
             h = jnp.einsum("rtb,rg->gtb", per_col_tile.astype(jnp.bfloat16),
                            rhot, preferred_element_type=jnp.float32)
@@ -415,8 +420,11 @@ def _interp_dynamic(vals, luts, inv_th, inv_tw, gh, gw, chunk=16):
     # LUT entries are rounded integers in [0, 255] — bf16-exact (integers
     # <= 256 hold exactly in bf16's 8-bit mantissa), so the lookup matmul
     # can run as a pure bf16 MXU contraction with f32 accumulation instead
-    # of a mixed bf16 x f32 one that XLA upcasts to a multi-pass f32 matmul
-    luts = luts.astype(jnp.bfloat16)
+    # of a mixed bf16 x f32 one that XLA upcasts to a multi-pass f32 matmul.
+    # CPU keeps f32 + HIGHEST (bf16 x bf16 = f32 DotThunk is missing at
+    # sub-64 bucket sides there; see _hist_dynamic)
+    on_cpu = jax.default_backend() == "cpu"
+    luts = luts.astype(jnp.float32 if on_cpu else jnp.bfloat16)
 
     chunk = min(chunk, bh)
     while bh % chunk:
@@ -430,10 +438,12 @@ def _interp_dynamic(vals, luts, inv_th, inv_tw, gh, gw, chunk=16):
 
     def body(_, xs):
         v, w1, w2 = xs
-        onehot = (v[..., None] == bins).astype(jnp.bfloat16)
+        onehot = (v[..., None] == bins).astype(luts.dtype)
         # every tile's LUT at this pixel's value: (chunk, BW, gh, gw)
-        allt = jnp.einsum("rxb,tb->rxt", onehot, luts,
-                          preferred_element_type=jnp.float32)
+        allt = jnp.einsum(
+            "rxb,tb->rxt", onehot, luts,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if on_cpu else None)
         allt = allt.reshape(*v.shape, gh, gw)
         # cv2 blends x first then y, each as (lo*w_lo + hi*w_hi)
         tmp = (allt * wx1_b).sum(-1) + (allt * wx2_b).sum(-1)  # (r, x, gh)

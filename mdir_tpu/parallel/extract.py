@@ -92,28 +92,38 @@ class _Uplink:
             import threading
 
             self.queue = queue.Queue(maxsize=self.depth)
+            budget_lock = threading.Lock()
 
             def _run():
-                while True:
-                    t0 = time.time() if self.budget is not None else 0.0
-                    item = self.queue.get()
+                # queue-wait accumulates thread-locally and folds into the
+                # shared budget ONCE at exit (under a lock): a bare
+                # read-modify-write spanning a blocking get() would lose
+                # updates between concurrent workers (UPLINK_STREAMS > 1)
+                wait_s = 0.0
+                try:
+                    while True:
+                        t0 = time.time() if self.budget is not None else 0.0
+                        item = self.queue.get()
+                        if self.budget is not None:
+                            wait_s += time.time() - t0
+                        if item is None:
+                            return
+                        try:
+                            self.launch(*item)
+                        except BaseException as exc:  # surfaced in drain()
+                            self.errors.append(exc)
+                            # keep consuming (and discarding) so a producer
+                            # blocked on a full queue never deadlocks against
+                            # a dead worker; the next submit()/drain() raises
+                            while True:
+                                item = self.queue.get()
+                                if item is None:
+                                    return
+                finally:
                     if self.budget is not None:
-                        self.budget["queue_wait_s"] = \
-                            self.budget.get("queue_wait_s", 0.0) \
-                            + (time.time() - t0)
-                    if item is None:
-                        return
-                    try:
-                        self.launch(*item)
-                    except BaseException as exc:  # surfaced in drain()
-                        self.errors.append(exc)
-                        # keep consuming (and discarding) so a producer
-                        # blocked on a full queue never deadlocks against
-                        # a dead worker; the next submit()/drain() raises
-                        while True:
-                            item = self.queue.get()
-                            if item is None:
-                                return
+                        with budget_lock:
+                            self.budget["queue_wait_s"] = \
+                                self.budget.get("queue_wait_s", 0.0) + wait_s
 
             self.threads = [
                 threading.Thread(target=_run, daemon=True,
@@ -944,6 +954,39 @@ def _composed_fused_fn(translator, embedder, device_normalize,
     return jax.jit(fn)
 
 
+def composed_pack_grids(rh, rw, scale, divisor, ph, pw):
+    """One image's packed resize+pad transfer rows for the composed program.
+
+    Returns ``(ypack_row (ph, 4) f32, xpack_row (pw, 4) f32, (sh, sw))``:
+    per axis ``[idx0, idx1, weight, unpad-shift]`` — the exact scale-resize
+    grid (torch floor arithmetic) composed with the reference
+    ReflectPadMakeDivisible centered pad (floor top/left). The SINGLE source
+    of the composed transfer geometry: production ``submit()`` and bench.py's
+    resident composed pass both consume it, so the bench can never drift
+    from the program production runs."""
+    sh = int(math.floor(rh * scale)) if scale != 1 else rh
+    sw = int(math.floor(rw * scale)) if scale != 1 else rw
+    top = int(np.floor(((-(-sh // divisor) * divisor) - sh) / 2.0))
+    left = int(np.floor(((-(-sw // divisor) * divisor) - sw) / 2.0))
+
+    if scale == 1:
+        gy0, gy1, gwy = _identity_grid(sh)
+        gx0, gx1, gwx = _identity_grid(sw)
+    else:
+        gy0, gy1, gwy = torch_resize_grid(rh, sh, scale)
+        gx0, gx1, gwx = torch_resize_grid(rw, sw, scale)
+
+    ypack = np.zeros((ph, 4), np.float32)
+    xpack = np.zeros((pw, 4), np.float32)
+    sy = np.clip(np.arange(ph) - top, 0, sh - 1)
+    sx = np.clip(np.arange(pw) - left, 0, sw - 1)
+    ypack[:, 0], ypack[:, 1], ypack[:, 2] = gy0[sy], gy1[sy], gwy[sy]
+    xpack[:, 0], xpack[:, 1], xpack[:, 2] = gx0[sx], gx1[sx], gwx[sx]
+    ypack[:, 3] = np.clip(np.arange(ph) + top, 0, ph - 1)
+    xpack[:, 3] = np.clip(np.arange(pw) + left, 0, pw - 1)
+    return ypack, xpack, (sh, sw)
+
+
 _COMPOSED_CACHE = {}
 
 
@@ -1137,29 +1180,8 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
         for bi, (idx, arr) in enumerate(items):
             rh, rw = arr.shape[:2]
             batch[bi, :rh, :rw] = arr
-            sh = int(math.floor(rh * scale)) if scale != 1 else rh
-            sw = int(math.floor(rw * scale)) if scale != 1 else rw
-            valid[bi] = (sh, sw)
-            # reference ReflectPadMakeDivisible: centered, floor top/left
-            pad_h = ((-(-sh // divisor) * divisor) - sh) / 2.0
-            pad_w = ((-(-sw // divisor) * divisor) - sw) / 2.0
-            top, left = int(np.floor(pad_h)), int(np.floor(pad_w))
-
-            if scale == 1:
-                gy0, gy1, gwy = _identity_grid(sh)
-                gx0, gx1, gwx = _identity_grid(sw)
-            else:
-                gy0, gy1, gwy = torch_resize_grid(rh, sh, scale)
-                gx0, gx1, gwx = torch_resize_grid(rw, sw, scale)
-
-            sy = np.clip(np.arange(ph) - top, 0, sh - 1)
-            sx = np.clip(np.arange(pw) - left, 0, sw - 1)
-            ypack[bi, :, 0], ypack[bi, :, 1], ypack[bi, :, 2] = \
-                gy0[sy], gy1[sy], gwy[sy]
-            xpack[bi, :, 0], xpack[bi, :, 1], xpack[bi, :, 2] = \
-                gx0[sx], gx1[sx], gwx[sx]
-            ypack[bi, :, 3] = np.clip(np.arange(ph) + top, 0, ph - 1)
-            xpack[bi, :, 3] = np.clip(np.arange(pw) + left, 0, pw - 1)
+            ypack[bi], xpack[bi], valid[bi] = composed_pack_grids(
+                rh, rw, scale, divisor, ph, pw)
 
         if budget is not None:
             budget["assembly_s"] = \

@@ -10,9 +10,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices=None, axis="batch"):
-    """1-D data-parallel mesh over the first n devices."""
+    """1-D data-parallel mesh over the first n devices.
+
+    Asking for more devices than exist is a hard error, not a silent
+    truncation: this is reached straight from user yaml
+    (``parallel: {data: N}`` in scores/epoch iteration), and a misconfigured
+    multi-chip job must not masquerade as a slow correct one."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                "parallel mesh wants %d devices but only %d are available"
+                % (n_devices, len(devices)))
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 

@@ -77,3 +77,36 @@ def test_bucketed_clahe_bit_exact():
         for i, (h, w) in enumerate(shapes):
             ref = clahe_u8_np(imgs[i], clip, (8, 8))
             np.testing.assert_array_equal(out[i, :h, :w].astype(np.uint8), ref)
+
+
+def test_bucketed_clahe_small_buckets_cpu():
+    """Sub-64px buckets must run (and stay bit-exact) on CPU.
+
+    Regression: CPU XLA has no bf16 x bf16 = f32 DotThunk at some small
+    contraction shapes — the bucketed kernels crashed for bucket sides
+    32-48 (passing at >= 64, which is why the 64-multiple bucket tests
+    never caught it) when the hist/interp one-hot contractions went bf16
+    unconditionally. All contractions now stay f32 + HIGHEST on CPU; the
+    dryrun's 32px device-chain train step exercises this path too."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.ops.clahe import (clahe_bucket_aux, clahe_u8_bucketed_jax,
+                                    clahe_u8_np)
+
+    rng = np.random.RandomState(5)
+    for side in (32, 40, 48):
+        shapes = [(side, side), (side - 8, side - 4)]
+        batch = np.zeros((2, side, side), np.int32)
+        imgs = []
+        for i, (h, w) in enumerate(shapes):
+            img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            imgs.append(img)
+            batch[i, :h, :w] = img
+        aux = clahe_bucket_aux(shapes, (side, side), clip_limit=2.0,
+                               grid=(8, 8))
+        out = np.asarray(clahe_u8_bucketed_jax(
+            jnp.asarray(batch), {k: jnp.asarray(v) for k, v in aux.items()}))
+        for i, (h, w) in enumerate(shapes):
+            ref = clahe_u8_np(imgs[i], 2.0, (8, 8))
+            np.testing.assert_array_equal(out[i, :h, :w].astype(np.uint8),
+                                          ref)

@@ -505,3 +505,13 @@ def test_resize_helper_utilities(rng):
     img = Image.fromarray((rng.rand(40, 80, 3) * 255).astype(np.uint8))
     small = max_side_resize_pil(img, 32)
     assert max(small.size) == 32
+
+
+def test_make_mesh_rejects_oversized_request():
+    """A yaml ``parallel: {data: N}`` larger than the available devices must
+    fail loudly instead of silently truncating to fewer chips."""
+    from mdir_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="9 devices but only 8"):
+        make_mesh(9)
+    assert make_mesh(8).devices.size == 8
