@@ -320,9 +320,10 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
     """Device-resident rate of the eval_composition.yml workload: p2p U-Net
     night->day translation at pad-divisible resolution -> VGG16-GeM
     multiscale embedding (reference eval_composition.yml:1-11, composed
-    forward network.py:227-236). One fused program per scale with the
-    production composed geometry (exact scale-resize + replicate-pad +
-    masked embedder), rate counted per IMAGE (all 3 scales included)."""
+    forward network.py:227-236). ONE fused program runs all 3 scales per
+    chunk (the production shape) with the production composed geometry
+    (exact scale-resize + replicate-pad + masked embedder), rate counted
+    per IMAGE (all 3 scales included)."""
     import jax
     import jax.numpy as jnp
 
@@ -356,7 +357,7 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
     std = jnp.asarray(e_model.meta["std"], jnp.float32)
     msp = jnp.float32(float(e_model.pool_p))
 
-    calls, flops = [], 0.0
+    packs, flops = [], 0.0
     for scale in (1, 1.0 / math.sqrt(2), 0.5):
         sh = int(math.floor(rh * scale)) if scale != 1 else rh
         sw = int(math.floor(rw * scale)) if scale != 1 else rw
@@ -368,24 +369,23 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
         xpack = np.tile(xrow[None], (batch, 1, 1))
         valid = jnp.asarray(np.tile(np.array([valid_hw], np.int32),
                                     (batch, 1)))
-        call = (dev_batch, valid, jnp.asarray(ypack), jnp.asarray(xpack),
-                mean, std, msp)
-        try:
-            cost = fused.lower(t_vars, e_vars,
-                               *call).compile().cost_analysis()
-            if cost:
-                cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-                flops += float(cost.get("flops", 0.0))
-        except Exception:
-            pass
-        calls.append(call)
+        packs.append((valid, jnp.asarray(ypack), jnp.asarray(xpack)))
 
-    outs = [fused(t_vars, e_vars, *c) for c in calls]
-    _ = [_sync(o) for o in outs]  # compile + warm
+    # all 3 scales run inside ONE program per chunk (the production shape)
+    call = (dev_batch, tuple(packs), mean, std, msp)
+    try:
+        cost = fused.lower(t_vars, e_vars, *call).compile().cost_analysis()
+        if cost:
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+
+    _sync(fused(t_vars, e_vars, *call))  # compile + warm
     start = time.time()
     for _rep in range(reps):
-        outs = [fused(t_vars, e_vars, *c) for c in calls]
-    _ = [_sync(o) for o in outs]
+        out = fused(t_vars, e_vars, *call)
+    _sync(out)
     elapsed = time.time() - start
     rate = reps * batch / elapsed
     tflops = (flops * reps / elapsed / 1e12) if flops else None
@@ -457,11 +457,12 @@ def _measure_composed_e2e(reps=3, hw=(768, 1024), max_batch=None):
         vecs, instrument = run()
         pass_elapsed = time.time() - start
         pass_tunnel = _measure_tunnel(probe, reps=1)
-        # shipped bytes from the per-chunk stats, NOT n_images x nbytes: the
-        # composed path transfers the full raw batch once PER SCALE (each
-        # scale pads to a different translator shape), so the wire carries
-        # ~3x the image bytes and a rate computed from nbytes would read a
-        # saturated link as ~0.33
+        # shipped bytes from the per-chunk stats, NOT n_images x nbytes:
+        # chunk padding (bucket rounding, device-count round-up) makes the
+        # wire bytes differ from the raw image bytes, and the accounting
+        # must follow the transfer scheme (scales now share one raw-batch
+        # transfer; an earlier per-scale scheme shipped 3x and read a
+        # saturated link as ~0.33)
         shipped = sum(e["bytes"] for e in instrument["stats"]) or nbytes
         pass_rate = shipped / pass_elapsed / 1e6
         sat = max(sat, pass_rate / max(pass_tunnel, pass_rate))

@@ -304,6 +304,17 @@ class TuplesDataset:
             nidxs = []
             r = 0
             while len(nidxs) < self.nnum:
+                if r >= ranks.shape[0]:
+                    # the pool ran out of distinct-cluster negatives (small
+                    # pool_size or cluster-concentrated sample) — fail with
+                    # the cause instead of an opaque IndexError (the
+                    # reference's unbounded walk crashes the same way,
+                    # cirtorch traindataset.py:178-271)
+                    raise ValueError(
+                        "hard-negative mining exhausted the pool: query %d "
+                        "found %d/%d distinct-cluster negatives in a pool "
+                        "of %d — raise pool_size or lower neg_num"
+                        % (q, len(nidxs), self.nnum, ranks.shape[0]))
                 potential = idxs2images[ranks[r, q]]
                 if self.clusters[potential] not in clusters:
                     nidxs.append(int(potential))

@@ -6,7 +6,7 @@ sum of per-tuple losses followed by one step; on TPU we compute the whole
 batch in one compiled program (images padded into a static bucket with exact
 valid-extent masking) — identical optimizer-step semantics, MXU-sized
 batches. For large buckets (batch element count ≥
-``MDIR_TPU_REMAT_MIN_ELEMENTS``, default 2^23) the model apply is wrapped in
+``MDIR_TPU_REMAT_MIN_ELEMENTS``, default 2^24) the model apply is wrapped in
 ``jax.checkpoint`` so activation memory stays bounded at mining-tuple sizes;
 small batches keep the full-speed non-remat path. The threshold is read at
 trace time from the static batch shape, so each compiled bucket picks its
@@ -396,6 +396,17 @@ def get_eval_loss_fn(network, criterion):
             return criterion(out, targets)
 
         _EVAL_LOSS_CACHE[key] = jax.jit(loss_fn)
+        # evict when either keyed object dies: a recycled id must never
+        # inherit a program compiled for a different module structure or
+        # criterion (same hazard class as dtypes._GUARD_DECISIONS), and the
+        # cache must not grow unboundedly across long multi-network runs
+        import weakref
+
+        for obj in (module, criterion):
+            try:
+                weakref.finalize(obj, _EVAL_LOSS_CACHE.pop, key, None)
+            except TypeError:
+                pass  # un-weakref-able: entry persists for the run
     return _EVAL_LOSS_CACHE[key]
 
 

@@ -892,12 +892,17 @@ def _identity_grid(n):
 
 def _composed_fused_fn(translator, embedder, device_normalize,
                        compute_dtype=None, pallas=False):
-    """One program per (scale, raw-bucket, padded-shape): exact scale-resize +
-    replicate-pad (one composed gather), batched translator forward, un-pad
-    shift, masked embedder. Replicates the reference composition exactly:
-    multiscale resize of the raw input, the translator's
-    reflectpad-to-divisible wrapper (replicate + centered crop), then the
-    embedder at the native scaled size (zero conv padding == masked bucket).
+    """One program per (raw-bucket, per-scale padded-shapes): the raw batch
+    normalizes ONCE on device, then EVERY scale runs inside the same program
+    — exact scale-resize + replicate-pad (one composed gather), batched
+    translator forward, un-pad shift, masked embedder — returning stacked
+    (S, B, D) per-scale descriptors**msp. Replicates the reference
+    composition exactly: multiscale resize of the raw input, the
+    translator's reflectpad-to-divisible wrapper (replicate + centered
+    crop), then the embedder at the native scaled size (zero conv padding
+    == masked bucket). Fusing the scales means the link carries the raw
+    uint8 batch once instead of once per scale (3x fewer bytes on the
+    link-bound e2e path) and one dispatch per chunk instead of S.
 
     ``compute_dtype='bfloat16'`` runs translator + embedder on the MXU's
     native dtype (pre-cast variable trees, bf16 activations; descriptors
@@ -914,10 +919,7 @@ def _composed_fused_fn(translator, embedder, device_normalize,
         e_module = e_module.clone(pallas_pool=True)
     t_takes_train = _accepts_train(t_module)
 
-    def fn(t_vars, e_vars, batch, valid_scaled, ypack, xpack, mean, std, msp):
-        if device_normalize:
-            batch = batch.astype(jnp.float32) / 255.0
-            batch = (batch - mean) / std
+    def one_scale(t_vars, e_vars, batch, valid_scaled, ypack, xpack, msp):
         # packed (B, P, 4) f32 per axis: [idx0, idx1, weight, unpad-shift]
         y0 = ypack[..., 0].astype(jnp.int32)
         y1 = ypack[..., 1].astype(jnp.int32)
@@ -950,6 +952,17 @@ def _composed_fused_fn(translator, embedder, device_normalize,
             t0 = t0.astype(compute_dtype)
         vecs = e_module.apply(e_vars, t0, valid_hw=valid_scaled)  # (B, D)
         return vecs.astype(jnp.float32) ** msp
+
+    def fn(t_vars, e_vars, batch, packs, mean, std, msp):
+        if device_normalize:
+            batch = batch.astype(jnp.float32) / 255.0
+            batch = (batch - mean) / std
+        # packs: per-scale (valid_scaled, ypack, xpack) — static shapes
+        # differ per scale, so this is a python loop over S branches of one
+        # compiled program, not a lax.scan
+        return jnp.stack([
+            one_scale(t_vars, e_vars, batch, valid_scaled, ypack, xpack, msp)
+            for valid_scaled, ypack, xpack in packs])  # (S, B, D)
 
     return jax.jit(fn)
 
@@ -987,11 +1000,17 @@ def composed_pack_grids(rh, rw, scale, divisor, ph, pw):
     return ypack, xpack, (sh, sw)
 
 
+#: compiled composed programs keyed by the module ids; entries evict when
+#: either module is garbage-collected (weakref.finalize) so a recycled
+#: object address can never inherit a program closing over the WRONG module
+#: structure — the same recycled-id hazard fixed for _GUARD_DECISIONS
 _COMPOSED_CACHE = {}
 
 
 def _get_composed(translator, embedder, device_normalize, compute_dtype=None,
                   pallas=None):
+    import weakref
+
     use_pallas = _resolve_pallas(pallas)
     key = (id(translator.module), id(embedder.module), device_normalize,
            str(compute_dtype), use_pallas)
@@ -999,6 +1018,11 @@ def _get_composed(translator, embedder, device_normalize, compute_dtype=None,
         _COMPOSED_CACHE[key] = _composed_fused_fn(
             translator, embedder, device_normalize,
             compute_dtype=compute_dtype, pallas=use_pallas)
+        for module in (translator.module, embedder.module):
+            try:
+                weakref.finalize(module, _COMPOSED_CACHE.pop, key, None)
+            except TypeError:
+                pass  # un-weakref-able module type: entry persists
     return _COMPOSED_CACHE[key]
 
 
@@ -1121,15 +1145,16 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
     buffers = collections.defaultdict(list)
     results = []
 
-    def launch(indices, batch, valid, ypack, xpack):
+    def launch(indices, batch, packs):
         put = jnp.asarray if shard is None \
             else (lambda a: jax.device_put(a, shard))
         entry = {"bytes": batch.nbytes} if stats is not None else None
         t0 = time.time() if entry is not None else 0.0
         dev_batch = put(batch)
         t1 = time.time() if entry is not None else 0.0
-        args = (dev_batch, put(valid), put(ypack), put(xpack),
-                mean, std, jnp.float32(msp))
+        dev_packs = tuple((put(valid), put(ypack), put(xpack))
+                          for valid, ypack, xpack in packs)
+        args = (dev_batch, dev_packs, mean, std, jnp.float32(msp))
         if entry is not None:
             # same async-put semantics as StreamingExtractor: put_s is
             # dispatch time, the wire drains in the pass's sync tail
@@ -1145,6 +1170,8 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
             f32_fused = _get_composed(first.model, last.model,
                                       device_normalize, None, pallas=pallas)
             exact = f32_fused(t_vars_f32, e_vars_f32, *args)
+            # cosine_rows_ok reduces along the last axis, so the stacked
+            # (S, B, D) outputs compare directly
             ok = dtype_policy.cosine_rows_ok(np.asarray(vecs),
                                              np.asarray(exact))
             dtype_policy.record_guard_decision(model.module, ok,
@@ -1165,40 +1192,46 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
         t_sub = time.time() if budget is not None else 0.0
         if budget is not None and "t_first_submit" not in budget:
             budget["t_first_submit"] = t_sub
-        scale, _rb, (ph, pw) = key
+        (rh_b, rw_b), pads = key
         # pad to the device count so every chunk batch-shards evenly;
         # padding rows carry (1, 1) valid extents and are never read back
         bsz = _round_up(len(items), n_dev)
         channels = items[0][1].shape[-1]
-        rh_b, rw_b = key[1]
         batch = np.zeros((bsz, rh_b, rw_b, channels), host_dtype)
-        valid = np.ones((bsz, 2), np.int32)
-        # packed per-axis transfer: [idx0, idx1, weight, unpad-shift]
-        ypack = np.zeros((bsz, ph, 4), np.float32)
-        xpack = np.zeros((bsz, pw, 4), np.float32)
-
+        packs = []
+        for scale, (ph, pw) in zip(scales, pads):
+            valid = np.ones((bsz, 2), np.int32)
+            # packed per-axis transfer: [idx0, idx1, weight, unpad-shift]
+            ypack = np.zeros((bsz, ph, 4), np.float32)
+            xpack = np.zeros((bsz, pw, 4), np.float32)
+            for bi, (idx, arr) in enumerate(items):
+                ypack[bi], xpack[bi], valid[bi] = composed_pack_grids(
+                    arr.shape[0], arr.shape[1], scale, divisor, ph, pw)
+            packs.append((valid, ypack, xpack))
         for bi, (idx, arr) in enumerate(items):
-            rh, rw = arr.shape[:2]
-            batch[bi, :rh, :rw] = arr
-            ypack[bi], xpack[bi], valid[bi] = composed_pack_grids(
-                rh, rw, scale, divisor, ph, pw)
+            batch[bi, :arr.shape[0], :arr.shape[1]] = arr
 
         if budget is not None:
             budget["assembly_s"] = \
                 budget.get("assembly_s", 0.0) + (time.time() - t_sub)
-        uplink.submit(([i for i, _ in items], batch, valid, ypack, xpack))
+        uplink.submit(([i for i, _ in items], batch, tuple(packs)))
 
+    # chunks group by (raw bucket, EVERY scale's padded shape): the raw
+    # batch ships once and all scales run in one program — with the coarse
+    # (divisor-multiple) pads, images in the same raw bucket almost always
+    # share all padded shapes, so the grouping rarely splits a bucket
     for i, arr in enumerate(loader):
         arr = np.asarray(arr)
         rh, rw = arr.shape[:2]
         rb = (_round_up(rh, bucket_multiple), _round_up(rw, bucket_multiple))
-        for scale in scales:
-            sh = int(math.floor(rh * scale)) if scale != 1 else rh
-            sw = int(math.floor(rw * scale)) if scale != 1 else rw
-            key = (scale, rb, padded_shape(sh, sw))
-            buffers[key].append((i, arr))
-            if len(buffers[key]) == max_batch:
-                submit(key, buffers.pop(key))
+        pads = tuple(
+            padded_shape(int(math.floor(rh * s)) if s != 1 else rh,
+                         int(math.floor(rw * s)) if s != 1 else rw)
+            for s in scales)
+        key = (rb, pads)
+        buffers[key].append((i, arr))
+        if len(buffers[key]) == max_batch:
+            submit(key, buffers.pop(key))
     for key in list(buffers.keys()):
         submit(key, buffers.pop(key))
     t_drain = time.time() if budget is not None else 0.0
@@ -1209,9 +1242,9 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
 
     t_sync = time.time() if budget is not None else 0.0
     for indices, vecs in results:
-        host = np.asarray(vecs, np.float64)
+        host = np.asarray(vecs, np.float64)  # (S, B, D)
         for bi, i in enumerate(indices):
-            acc[i] += host[bi]
+            acc[i] += host[:, bi].sum(axis=0)
     if budget is not None:
         budget["sync_s"] = time.time() - t_sync
         budget["t_end"] = time.time()

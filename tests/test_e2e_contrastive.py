@@ -286,3 +286,42 @@ def test_contrastive_training_device_clahe_chain(sfm_root, tmp_path):
     metadata, = train(_copy.deepcopy(params), ())
     losses = metadata["metrics"]["train/learning/loss:total_avg.4"]
     assert len(losses) == 1 and np.isfinite(np.asarray(losses)).all()
+
+
+def test_mining_pool_exhaustion_raises_clearly(sfm_root):
+    """When the negative pool has fewer distinct-cluster candidates than
+    nnum, mining must fail with an actionable error (pool_size/neg_num),
+    not an IndexError past the rank matrix (the reference's unbounded walk,
+    cirtorch traindataset.py:178-271, crashes opaquely the same way)."""
+    from mdir_tpu.data.datasets import TuplesDataset
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.models import initialize_model
+
+    from mdir_tpu.data.transforms import initialize_transforms
+
+    db_pkl = str(sfm_root / "data" / "train" / "retrieval-SfM-tiny"
+                 / "retrieval-SfM-tiny.pkl")
+    mean_std = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+    transform = initialize_transforms("pil2np | totensor | normalize",
+                                      mean_std)
+    # 16 images in 8 clusters: a query's pool holds at most 7 other
+    # clusters, so nnum=10 cannot be satisfied
+    dataset = TuplesDataset("retrieval-SfM-tiny", "train", imsize=64,
+                            nnum=10, qsize=1, poolsize=16,
+                            transform=transform, dataset_pkl=db_pkl)
+
+    e_params = {"architecture": "cirnet", "cir_architecture": "alexnet",
+                "local_whitening": False, "pooling": "gem",
+                "regional": False, "whitening": False, "pretrained": False}
+    network = CirNetwork(
+        initialize_model(dict(e_params)),
+        CirNetwork.NetworkParams(
+            model=e_params,
+            runtime={"wrappers": "",
+                     "data": {"mean_std": mean_std,
+                              "transforms":
+                                  "pil2np | totensor | normalize"}})).eval()
+
+    np.random.seed(0)
+    with pytest.raises(ValueError, match="exhausted the pool"):
+        dataset.create_epoch_tuples(network)
