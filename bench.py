@@ -208,8 +208,8 @@ def _measure_train_step(model, compute_dtype="auto", reps=3):
 
     Production shape: the tuple loader ships raw uint8 with the normalize
     chain fused on device (epoch_iteration lowers the host transform), so
-    the e2e number pays a 46 MB/step u8 ingress — on this harness that
-    rides the tunnel and IS the limiter. The resident number times the
+    the e2e number pays a ~13.8 MB/step u8 ingress (35 images x 362^2 x 3)
+    — on this harness that rides the tunnel and IS the limiter. The resident number times the
     same compiled step on device-staged inputs: the chip-side training
     rate (and the MFU denominator). ``compute_dtype`` follows the
     production policy (bf16 + first-step guard) unless overridden.

@@ -42,6 +42,11 @@ class SupervisedEpoch:
         self.criterion = criterion
         self.mean_std = mean_std
         self.epoch = None
+        # a None batch_average would TypeError mid-epoch at the grad-scale
+        # comparison (the reference crashes identically at its
+        # epoch_iteration.py:61) — reject it at construction instead
+        assert isinstance(batch_average, bool), \
+            "batch_average must be a bool, got %r" % (batch_average,)
         self.batch_average = batch_average
         self.fakebatch = fakebatch
         # our extension over the reference schema: {"data": n} shards train
@@ -184,8 +189,7 @@ class SupervisedEpoch:
         # late, so the next batch's host->device transfer overlaps this
         # step's device compute instead of blocking on a host read here
         # (the exact float arithmetic of the eager version is preserved)
-        batch_avg_off = self.batch_average is not None \
-            and not self.batch_average
+        batch_avg_off = not self.batch_average  # bool (asserted in __init__)
 
         def loss_value(loss_dev=loss):
             value = float(np.asarray(loss_dev))

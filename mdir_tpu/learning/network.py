@@ -291,16 +291,31 @@ class SingleNetwork(Network):
         assert payload["type"] == cls.__name__, payload["type"]
 
         spec = cls.NetworkParams(**payload["network_params"])
-        if params is not None and "path" not in params:
-            del params["initialize"]
-            assert spec._asdict() == params, \
-                "%s != %s" % (spec._asdict(), params)
-
         model = models_lib.initialize_model(copy.deepcopy(spec.model))
         _restore_variables(model, payload["model_state"])
+
+        # resume consistency: a from-scratch network spec (no/falsy path —
+        # the reference gates on key absence, which its own ``path: null``
+        # convention always skips) must match the checkpoint. Compare like
+        # with like: drop the construction-only keys and apply the same
+        # defaulting __init__ would (CirNetwork injects model mean/std into
+        # runtime.data BEFORE checkpointing, so the checkpointed spec
+        # legitimately carries keys the yaml omitted).
+        if params is not None and not params.get("path"):
+            declared = {k: v for k, v in params.items()
+                        if k not in ("path", "initialize", "type")}
+            cls._canonicalize_resume_params(declared, model)
+            assert spec._asdict() == declared, \
+                "%s != %s" % (spec._asdict(), declared)
+
         if runtime:
             spec.runtime.update(runtime)
         return cls(model, spec, device=device, frozen=payload["frozen"])
+
+    @classmethod
+    def _canonicalize_resume_params(cls, params, model):
+        """Apply the same defaulting ``__init__`` performs to a fresh yaml
+        spec, so the resume consistency check compares like with like."""
 
     def __repr__(self):
         nice = "\n".join("    %s: %s," % (x, y)
@@ -403,8 +418,11 @@ class SequentialNetwork(Network):
             getattr(self.networks[name], method)()
 
     def train(self):
-        self._each("train")
-        self.stage = TRAIN
+        # same contract as the base class: a frozen composition never
+        # flips back to TRAIN-stage wrappers
+        if not self.frozen:
+            self._each("train")
+            self.stage = TRAIN
         return self
 
     def eval(self):
@@ -418,6 +436,7 @@ class SequentialNetwork(Network):
             return self
         self._each("freeze")
         self.frozen = True
+        self.stage = EVAL  # base-class freeze() semantics (eval wrappers)
         return self
 
     def parameters(self, optimizer_opts, net=None):
@@ -448,11 +467,22 @@ class SequentialNetwork(Network):
             return self
         missing = set(self.sequence) - set(new_params.keys())
         assert not missing, missing
-        overlaid = {
-            name: self.networks[name].overlay_params(
-                new_params[name], device) if name in new_params
-            else self.networks[name]
-            for name in self.sequence}
+        overlaid = {}
+        for name in self.sequence:
+            sub = self.networks[name]
+            if new_params.get(name):
+                overlaid[name] = sub.overlay_params(new_params[name], device)
+            else:
+                # a falsy entry keeps the subnet as-is — but __init__ STOLE
+                # the tail's wrappers into this composition (and left the
+                # subnet an empty set), so the new composition must re-steal
+                # from a shallow copy carrying the LIVE wrappers; handing it
+                # the shared subnet would silently strip multiscale/whiten
+                # from the overlay's eval path
+                sub = copy.copy(sub)
+                if name == self.sequence[-1]:
+                    sub.wrappers = dict(self.wrappers)
+                overlaid[name] = sub
         return type(self)(overlaid, self.sequence, device=device, frozen=True)
 
     def state_dict(self):
@@ -478,14 +508,31 @@ class SequentialNetwork(Network):
         if params is not None:
             declared = params["sequence"].split(",")
             assert sequence == declared, (sequence, declared)
+            # mirror initialize(): a composition-level runtime routes into
+            # the subnet specs (wrappers/fast-path keys to the tail, data
+            # to the head) — the checkpointed subnet runtimes carry those
+            # overrides, so the resume consistency check must too
+            yaml_routed = _route_runtime_overrides(
+                copy.deepcopy(params.get("runtime")), sequence)
+            for name, overrides in yaml_routed.items():
+                if overrides:
+                    params[name].setdefault("runtime", {}).update(overrides)
 
         restored = {}
         for name in hierarchy:
+            netparams = None
+            if params is not None:
+                # "type" was consumed by initialize() when the net was
+                # built; the subnet's resume consistency check compares
+                # construction params only
+                netparams = params[name]
+                declared_type = netparams.pop("type", None)
+                assert declared_type in (None, state_dict[name]["type"]), \
+                    (declared_type, state_dict[name]["type"])
             restored[name] = NETWORKS[
                 state_dict[name]["type"]].initialize_from_state(
                     _nest_substates(state_dict, hierarchy, name), device,
-                    params[name] if params is not None else None,
-                    routed_runtime[name])
+                    netparams, routed_runtime[name])
         return cls(restored, sequence, device=device,
                    frozen=header["frozen"])
 
@@ -509,6 +556,17 @@ class CirNetwork(SingleNetwork):
         data_defaults.setdefault("mean_std",
                                  [model.meta["mean"], model.meta["std"]])
         super().__init__(model, network_params, device, frozen)
+
+    @classmethod
+    def _canonicalize_resume_params(cls, params, model):
+        # mirror __init__'s mean/std injection (without mutating the
+        # caller's yaml dicts) so a pathless CirNetwork yaml that relied on
+        # the injection still passes the resume consistency check
+        runtime = dict(params.get("runtime") or {})
+        data = dict(runtime.get("data") or {})
+        data.setdefault("mean_std", [model.meta["mean"], model.meta["std"]])
+        runtime["data"] = data
+        params["runtime"] = runtime
 
     def parameters(self, optimizer_opts, net="net"):
         assert net == "net"

@@ -223,6 +223,15 @@ def _lab_n_jax(batch_u8, channels, target_px=2048):
     if rows == 1 and n * w_ > target_px:
         # keep lane extents 128-aligned where W allows; tiny widths keep W
         wcols = _chunk_divisor(w_, max(1, target_px // n), floor=127)
+        if wcols == w_:
+            # no 128-aligned divisor <= want (e.g. W = 992 at batch 16):
+            # an unaligned lane extent still beats the full-row transient
+            # (~9x VMEM target, the HBM-round-trip regime this chunking
+            # exists to avoid) — but refuse slivers that would turn the
+            # scan into per-step dispatch soup
+            alt = _chunk_divisor(w_, max(1, target_px // n))
+            if alt >= 32:
+                wcols = alt
     vals = jnp.moveaxis(
         batch_u8.reshape(n, h // rows, rows, w_ // wcols, wcols, 3),
         (1, 3), (0, 1)).reshape(

@@ -79,7 +79,9 @@ class CirDatasetAp:
                                        self.transforms, mesh=mesh)
         print(">> {}: query images...".format(self.dataset))
         if self.images == self.qimages and set(self.bbxs) == {None}:
-            qvecs = np.array(vecs)
+            # alias, don't copy: the db matrix can be ~GB on the 1-core
+            # host and neither side is mutated downstream
+            qvecs = np.asarray(vecs)
         else:
             qvecs = extract_vectors_network(network, self.qimages,
                                             self.image_size, self.transforms,

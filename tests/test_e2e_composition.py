@@ -615,3 +615,85 @@ def test_composed_extraction_sharded_mesh_parity(composed_checkpoint, rng,
                                        max_batch=2, mesh=make_mesh(8))
     assert np.isfinite(sharded).all()
     np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-6)
+
+
+def test_sequential_overlay_falsy_tail_keeps_wrappers(composed_checkpoint,
+                                                      rng):
+    """An overlay that changes only the head (tail entry falsy) must keep
+    the tail's eval wrappers on the overlaid composition.
+
+    Regression (confirmed by repro): __init__ steals the tail's wrappers
+    into the composition and leaves the shared subnet an empty set, so a
+    falsy tail overlay re-stole the EMPTY set — validation then scored
+    descriptors without multiscale/whitening, silently wrong mAP."""
+    from mdir_tpu.learning import load_network
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network(
+        {"path": str(ckpt_dir),
+         "runtime": {"wrappers": {
+             "train": None,
+             "eval": {"0_cirmultiscale": {"scales": True}}}}}).eval()
+
+    overlay = network.overlay_params(
+        {"translate": None, "embed": None}, None).eval()
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    base_out = np.asarray(network(img))
+    over_out = np.asarray(overlay(img))
+    # multiscale aggregation returns an L2-normalized (D,) vector; without
+    # the wrappers the raw forward returns (D, 1) unnormalized columns
+    assert over_out.shape == base_out.shape == (256,)
+    np.testing.assert_allclose(over_out, base_out, rtol=1e-6)
+    # and the ORIGINAL composition still works after overlaying
+    np.testing.assert_allclose(np.asarray(network(img)), base_out, rtol=1e-6)
+
+
+def test_sequential_resume_with_declared_params(composed_checkpoint):
+    """initialize_from_state with the full training-yaml params (subnet
+    specs carrying "type", pathless) must pass the resume consistency
+    check, not AssertionError on the unconsumed "type" key (confirmed by
+    repro; the reference crashes identically)."""
+    from mdir_tpu.learning.checkpoints import Checkpoints
+    from mdir_tpu.learning.network import SequentialNetwork, initialize_network
+
+    root, ckpt_dir = composed_checkpoint
+    state = Checkpoints.load_network(str(ckpt_dir))
+
+    t_spec = {"type": "SingleNetwork",
+              "model": {"architecture": "pixelconv_regr", "in_channels": 3,
+                        "out_channels": 3, "hidden": [8]},
+              "initialize": {"weights": "default", "seed": 0},
+              "runtime": {"wrappers": "",
+                          "data": {"mean_std": [[0.5] * 3, [0.5] * 3],
+                                   "transforms":
+                                       "pil2np | totensor | normalize"}}}
+    e_spec = {"type": "CirNetwork",
+              "model": {"architecture": "cirnet",
+                        "cir_architecture": "alexnet",
+                        "local_whitening": False, "pooling": "gem",
+                        "regional": False, "whitening": False,
+                        "pretrained": False},
+              "initialize": {"weights": "default", "seed": 0},
+              "runtime": {"wrappers": {
+                  "train": None,
+                  "eval": {"0_cirmultiscale": {"scales": False}}}}}
+    params = {"type": "SequentialNetwork", "sequence": "translate,embed",
+              "translate": t_spec, "embed": e_spec}
+    network = initialize_network(params, state=state)
+    assert isinstance(network, SequentialNetwork)
+
+
+def test_frozen_composition_train_is_noop(composed_checkpoint):
+    """freeze() must leave the composition in EVAL stage and train() must
+    not flip a frozen composition back to TRAIN-stage wrappers (base-class
+    Network semantics)."""
+    from mdir_tpu.learning import load_network
+    from mdir_tpu.learning.network import EVAL
+
+    root, ckpt_dir = composed_checkpoint
+    network = load_network({"path": str(ckpt_dir), "runtime": None})
+    network.train()
+    network.freeze()
+    assert network.stage == EVAL
+    network.train()
+    assert network.stage == EVAL

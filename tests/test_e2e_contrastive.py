@@ -325,3 +325,38 @@ def test_mining_pool_exhaustion_raises_clearly(sfm_root):
     np.random.seed(0)
     with pytest.raises(ValueError, match="exhausted the pool"):
         dataset.create_epoch_tuples(network)
+
+
+def test_cirnetwork_pathless_resume_consistency():
+    """Resuming a pathless CirNetwork yaml that relied on the documented
+    mean/std injection must pass the consistency check (confirmed repro:
+    the checkpointed runtime carries the injected data defaults the fresh
+    yaml omits), and a genuinely mismatched model must FAIL it (the check
+    used to be skipped whenever the conventional "path": null key was
+    present)."""
+    import copy
+
+    from mdir_tpu.learning.network import CirNetwork, initialize_network
+    from mdir_tpu.models import initialize_model
+
+    e_params = {"architecture": "cirnet", "cir_architecture": "alexnet",
+                "local_whitening": False, "pooling": "gem",
+                "regional": False, "whitening": False, "pretrained": False}
+    # yaml WITHOUT a data section: CirNetwork injects model mean/std
+    yaml_params = {"type": "CirNetwork", "path": None,
+                   "model": dict(e_params),
+                   "initialize": {"weights": "default", "seed": 0},
+                   "runtime": {"wrappers": ""}}
+    network = CirNetwork(
+        initialize_model(dict(e_params)),
+        CirNetwork.NetworkParams(model=dict(e_params),
+                                 runtime={"wrappers": ""}))
+    state = network.state_dict()
+
+    resumed = initialize_network(copy.deepcopy(yaml_params), state=state)
+    assert isinstance(resumed, CirNetwork)
+
+    wrong = copy.deepcopy(yaml_params)
+    wrong["model"]["pooling"] = "mac"
+    with pytest.raises(AssertionError):
+        initialize_network(wrong, state=network.state_dict())

@@ -354,3 +354,16 @@ def test_wchunk_scan_partitions_bit_exact():
             got = np.asarray(lt._lab_n_jax(batch, (0, 1, 2), target_px))
             np.testing.assert_array_equal(got, ref, err_msg=str(
                 (shape, target_px)))
+
+
+def test_jax_kernel_unaligned_width_chunks():
+    """Widths with no 128-aligned divisor (e.g. 992 = 2^5 x 31 at batch 16)
+    must still W-chunk near the VMEM target — the old fallback silently
+    degenerated to full-width rows (the HBM-round-trip regime) — and stay
+    bit-exact."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    batch = rng.randint(0, 256, (16, 4, 992, 3)).astype(np.uint8)
+    out = np.asarray(lt.lab_l_u8_jax(jnp.asarray(batch)))
+    np.testing.assert_array_equal(out, lt.lab_l_u8_np(batch))
