@@ -132,7 +132,11 @@ class Checkpoints:
             assert "/" not in key
             save_state(state, self._file(key + SUFFIX_NOTRAIN))
             for role in (SUFFIX_BEST, SUFFIX_LAST):
-                self._file(key + role).symlink_to(key + SUFFIX_NOTRAIN)
+                # re-running an epochs==0 stage into the same directory
+                # must refresh the role links, not FileExistsError
+                link = self._file(key + role)
+                link.unlink(missing_ok=True)
+                link.symlink_to(key + SUFFIX_NOTRAIN)
 
     def save_epoch(self, networks_state, training_state, epoch, is_best, is_last):
         assert epoch >= 0
@@ -204,7 +208,13 @@ class Checkpoints:
         if rolls:
             victim = self._file(key + SUFFIX_EPOCH % when.prev_epoch1)
             if victim.exists():
-                if best.exists() and victim == best.resolve():
+                # compare RESOLVED paths on both sides: an unresolved
+                # victim under a relative checkpoint directory never
+                # string-equals best.resolve(), and the rescue branch
+                # would be skipped — deleting the best checkpoint's target
+                # and leaving a dangling _bestsofar symlink (data loss;
+                # the reference shares this flaw, checkpoints.py:100)
+                if best.exists() and victim.resolve() == best.resolve():
                     best.unlink()
                     victim.rename(best)
                 else:

@@ -181,12 +181,18 @@ class CirFakeTupleBatch(FakeBatch):
 class CirtorchWhiten(Wrapper):
     """Learned-whitening projection P[:dims](x - m) + L2, params from pkl."""
 
-    def __init__(self, whitening, dimensions, device=None):
+    def __init__(self, whitening, dimensions=None, device=None):
         super().__init__(device)
         whit = load_path(whitening)
         self.P = jnp.asarray(np.asarray(whit["P"], np.float32))
         self.m = jnp.asarray(np.asarray(whit["m"], np.float32))
-        self.dimensions = dimensions or self.P.shape[0]
+        # the string DSL ("cirwhiten:whiten.pkl") can only deliver the
+        # path (commas separate WRAPPERS), so dimensions defaults to full;
+        # when it does arrive (dict form, or a future multi-arg DSL) a
+        # string value must int-cast like ReflectPadMakeDivisible's arg
+        # does, or the P[:dims] slice raises TypeError
+        self.dimensions = int(dimensions) if dimensions \
+            else self.P.shape[0]
 
     def postprocess(self, tensor, model, _meta):
         x = jnp.asarray(tensor)

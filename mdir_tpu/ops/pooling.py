@@ -14,6 +14,7 @@ import math
 import jax
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def l2n(x, eps=1e-6, axis=-1):
@@ -51,13 +52,23 @@ def _rmac_region_grid(h, w, levels=3):
     """Static RMAC region list [(y, x, size), ...] (functional.py:26-75).
 
     Shapes are static under jit, so this runs in Python at trace time.
+    The arithmetic deliberately mirrors cirtorch's FLOAT32 tensor math
+    (``torch.floor(wl2 + torch.Tensor(range(n))*b)``): float64 centers
+    diverge from the reference at many feature extents (e.g. (4, 33)'s
+    level-2 x-offsets end [..., 31] in f64 vs [..., 30] in torch f32),
+    which would silently shift regional descriptors off published-model
+    parity.
     """
-    ovr = 0.4
-    steps = [2, 3, 4, 5, 6, 7]
+    f32 = np.float32
+    ovr = f32(0.4)
+    steps = np.array([2, 3, 4, 5, 6, 7], np.float32)
     mindim = min(h, w)
-    diffs = [abs(((mindim ** 2 - mindim * (max(h, w) - mindim) / (s - 1))
-                  / mindim ** 2) - ovr) for s in steps]
-    idx = diffs.index(min(diffs))
+    # scalar/tensor division in torch lowers to reciprocal-multiply
+    # (36/5 gives 7.2000003, not 7.1999998) — replicate or idx diverges
+    bsteps = f32(max(h, w) - mindim) * (f32(1) / (steps - f32(1)))
+    diffs = np.abs((f32(mindim) ** 2 - f32(mindim) * bsteps)
+                   / f32(mindim) ** 2 - ovr)
+    idx = int(np.argmin(diffs))  # first minimum, like torch.min
     wd, hd = 0, 0
     if h < w:
         wd = idx + 1
@@ -70,10 +81,16 @@ def _rmac_region_grid(h, w, levels=3):
         if region == 0:
             continue
         region2 = math.floor(region / 2 - 1)
-        b = 0.0 if level + wd == 1 else (w - region) / (level + wd - 1)
-        cen_w = [math.floor(region2 + i * b) - region2 for i in range(level - 1 + wd + 1)]
-        b = 0.0 if level + hd == 1 else (h - region) / (level + hd - 1)
-        cen_h = [math.floor(region2 + i * b) - region2 for i in range(level - 1 + hd + 1)]
+        b = f32(0.0) if level + wd == 1 \
+            else f32((w - region) / (level + wd - 1))
+        cen_w = np.floor(
+            f32(region2)
+            + np.arange(level - 1 + wd + 1, dtype=np.float32) * b) - region2
+        b = f32(0.0) if level + hd == 1 \
+            else f32((h - region) / (level + hd - 1))
+        cen_h = np.floor(
+            f32(region2)
+            + np.arange(level - 1 + hd + 1, dtype=np.float32) * b) - region2
         for i in cen_h:
             for j in cen_w:
                 regions.append((int(i), int(j), region))

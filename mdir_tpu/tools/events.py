@@ -317,6 +317,11 @@ class ConstLog:
         assert dtype in EVENT_DTYPES, dtype
         if key in self.consts:
             assert self.consts[key]["dtype"] == dtype
+            # a repeated non-blob const must carry the SAME value (the
+            # reference asserts equality): silently keeping the stale one
+            # would mask e.g. a changed network graph after a config edit
+            if dtype not in WEIGHT_DTYPES and dtype != "blob":
+                assert self.consts[key]["data"] == data, key
             return
         if dtype == "blob":
             data = self.vault.store(key, data, "const")
@@ -345,12 +350,19 @@ class DebugPrinter(EventStreamer):
             return
         is_val = key.startswith("val") or "/validation/" in key
         each = self.print_each_val if is_val else self.print_each
+        if not each:
+            return  # print_each 0 disables printing (reference :337)
+        # timing accumulates over EVERY matching row (like the reference's
+        # per-stage n counter): dividing elapsed-since-first-PRINT by the
+        # total iteration count understated s/batch by the print_each
+        # factor (and printed 0.000 on the first row)
+        track = self.epoch_start.setdefault(
+            (key, epoch), {"start": timestamp, "n": 0})
+        track["n"] += 1
         if (relative_iteration + 1) % each and relative_iteration + 1 != epoch_size:
             return
         value = data.get(self.subkey) if isinstance(data, dict) else data
-        start = self.epoch_start.setdefault((key, epoch), timestamp)
-        elapsed = timestamp - start
-        per_batch = elapsed / max(relative_iteration + 1, 1)
+        per_batch = (timestamp - track["start"]) / max(track["n"] - 1, 1)
         sys.stderr.write(
             "\r%s epoch %s %d/%d %s: %s (%.3fs/batch, %.1f min/epoch)\n"
             % (key, epoch, relative_iteration + 1, epoch_size, self.subkey,
@@ -363,6 +375,7 @@ class Tensorboard(EventStreamer, EventSink):
 
     def __init__(self, enabled=True, dataroot=None):
         self.writer = None
+        self._steps = {}
         if enabled and dataroot is not None:
             try:
                 from tensorboardX import SummaryWriter
@@ -377,7 +390,10 @@ class Tensorboard(EventStreamer, EventSink):
             return
         if relative_iteration is None:
             return
-        step = epoch * epoch_size + relative_iteration
+        # per-key absolute counter (like the reference): epoch*epoch_size
+        # + iteration overlaps across epochs when the loader length changes
+        # between epochs (tuple re-mining shrinks/grows it)
+        step = self._steps[key] = self._steps.get(key, -1) + 1
         for subkey, value in data.items():
             if isinstance(value, (int, float)):
                 self.writer.add_scalar("%s/%s" % (key, subkey), value, step)

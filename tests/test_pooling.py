@@ -124,3 +124,48 @@ def test_powerlaw_signed_sqrt():
                                rtol=1e-6)
     shifted = np.asarray(powerlaw(jnp.asarray(x), eps=1e-6))
     assert np.isfinite(shifted).all()
+
+
+def test_rmac_region_grid_matches_torch_f32_sweep():
+    """The RMAC region grid must replicate cirtorch's FLOAT32 tensor math
+    (functional.py:26-75) — including torch's reciprocal-multiply lowering
+    of scalar/tensor division — across feature extents. float64 centers
+    diverge at dozens of extents in 4..129 (e.g. (11,47) picks a different
+    steps index; (4,33) shifts the level-2 offsets), silently breaking
+    regional-descriptor parity with published checkpoints."""
+    import math
+
+    import torch
+
+    from mdir_tpu.ops.pooling import _rmac_region_grid
+
+    def torch_grid(H, W, L=3):
+        steps = torch.Tensor([2, 3, 4, 5, 6, 7])
+        w = min(W, H)
+        b = (max(H, W) - w) / (steps - 1)
+        _, idx = torch.min(torch.abs(((w ** 2 - w * b) / w ** 2) - 0.4), 0)
+        Wd = Hd = 0
+        if H < W:
+            Wd = idx.item() + 1
+        elif H > W:
+            Hd = idx.item() + 1
+        out = []
+        for l in range(1, L + 1):
+            wl = math.floor(2 * w / (l + 1))
+            wl2 = math.floor(wl / 2 - 1)
+            if wl == 0:
+                continue
+            bb = 0 if l + Wd == 1 else (W - wl) / (l + Wd - 1)
+            cenW = torch.floor(
+                wl2 + torch.Tensor(range(l - 1 + Wd + 1)) * bb) - wl2
+            bb = 0 if l + Hd == 1 else (H - wl) / (l + Hd - 1)
+            cenH = torch.floor(
+                wl2 + torch.Tensor(range(l - 1 + Hd + 1)) * bb) - wl2
+            for i_ in cenH.tolist():
+                for j_ in cenW.tolist():
+                    out.append((int(i_), int(j_), wl))
+        return out
+
+    for H in range(4, 130):
+        for W in range(4, 130):
+            assert _rmac_region_grid(H, W) == torch_grid(H, W), (H, W)

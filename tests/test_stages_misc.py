@@ -82,3 +82,45 @@ def test_learn_lw_whitening_retry_on_non_psd(rng, monkeypatch):
     with pytest.raises(np.linalg.LinAlgError):
         whiten_stage.learn_lw_whitening(
             {}, (names, values, queries, positives))
+
+
+def test_checkpoint_roll_relative_directory_keeps_best(tmp_path, monkeypatch):
+    """Rolling checkpoints under a RELATIVE checkpoint directory must rescue
+    the best epoch's weights, not delete them.
+
+    Regression (data loss, inherited from the reference checkpoints.py:100):
+    the victim path was compared unresolved against best.resolve(), so with
+    a relative directory the rescue branch never fired — the best weights
+    were unlinked and net_bestsofar left dangling."""
+    from mdir_tpu.learning.checkpoints import (Checkpoints, SUFFIX_BEST,
+                                               SUFFIX_BEST_SO_FAR)
+
+    monkeypatch.chdir(tmp_path)
+    ckpt = Checkpoints("exp_rel", store_every=0, checkpoint_every=1)
+
+    def state(tag):
+        return {"net": {"frozen": False, "tag": tag}}
+
+    # epoch 0 is best; epoch 1 is not (epoch 0 must be rescued when rolled)
+    ckpt.save_epoch(state("e0"), {"t": 0}, 0, is_best=True, is_last=False)
+    ckpt.save_epoch(state("e1"), {"t": 1}, 1, is_best=False, is_last=True)
+
+    best = ckpt.directory / ("net" + SUFFIX_BEST)
+    assert best.exists(), "best checkpoint lost on roll"
+    from mdir_tpu.learning.checkpoints import load_checkpoint_any
+    assert load_checkpoint_any(best)["tag"] == "e0"
+    assert not (ckpt.directory / ("net" + SUFFIX_BEST_SO_FAR)).exists()
+
+
+def test_save_notrain_rerun_refreshes_role_links(tmp_path):
+    """Re-running an epochs==0 train stage into the same directory must
+    refresh net_best/net_last instead of FileExistsError."""
+    from mdir_tpu.learning.checkpoints import Checkpoints, SUFFIX_BEST
+
+    ckpt = Checkpoints(str(tmp_path / "exp"), store_every=0,
+                       checkpoint_every=1)
+    ckpt.save_notrain({"net": {"frozen": False, "tag": "a"}})
+    ckpt.save_notrain({"net": {"frozen": False, "tag": "b"}})
+    from mdir_tpu.learning.checkpoints import load_checkpoint_any
+    assert load_checkpoint_any(ckpt.directory / ("net" + SUFFIX_BEST))[
+        "tag"] == "b"
