@@ -153,10 +153,15 @@ def initialize_training(params, network, data, params_data, device,
     else:
         require(state["type"] == cls.__name__, "training type",
                 state["type"], cls.__name__)
-        require(state["epoch"] < state["params"]["epochs"],
-                "resume point (already complete)", state["epoch"],
-                state["params"]["epochs"])
         spec = merge_epoch_override(state["params"], params)
+        # the NEXT epoch (state["epoch"]+1) must exist under the EFFECTIVE
+        # (merged) total: checking the stored epoch against the stored
+        # total is structurally always true (position <= epochs-1), so the
+        # old guard could never fire and a completed run re-launched (or
+        # resumed with a lowered epoch count) silently no-opped
+        require(state["epoch"] + 1 < spec["epochs"],
+                "resume point (already complete)", state["epoch"] + 1,
+                spec["epochs"])
         start_epoch, optimizer_state = state["epoch"], \
             state["optimizer_state"]
 

@@ -135,7 +135,12 @@ class ImageRetrievalNet(nn.Module):
 
     def _regional_pool(self, o, dim, region_boxes=None):
         """Rpool (cirtorch pooling.py:64-100): region vectors -> L2N ->
-        regional whitening -> L2N -> sum -> (L2N applied by caller)."""
+        regional whitening -> L2N -> sum -> L2N. The caller then applies
+        the network-level L2N AGAIN, exactly like the reference (Rpool
+        norms its aggregate at pooling.py:95 and ImageRetrievalNet norms
+        the pool output once more) — a single norm differs by ~1e-6
+        relative (the inner eps), a systematic deviation from published
+        -r model descriptors."""
         if self.pooling == "gem":
             gem_pool = GeMPool(self.p_init, name="pool")
             region_fn = gem_pool
@@ -157,7 +162,7 @@ class ImageRetrievalNet(nn.Module):
             # padded region slots must not contribute (the Dense bias makes
             # them nonzero otherwise)
             vecs = vecs * (region_boxes[..., 2] > 0)[..., None]
-        return vecs.sum(axis=-2)
+        return pool_ops.l2n(vecs.sum(axis=-2))
 
 
 def init_retrieval_net(architecture="resnet101", local_whitening=False,

@@ -147,10 +147,8 @@ def max_pool_ceil(x, kernel_size, stride):
     pad_w = (ow - 1) * s[1] + k[1] - w
     if pad_h or pad_w:
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    import flax.linen as fnn
-
-    return fnn.max_pool(x, window_shape=tuple(k), strides=tuple(s),
-                        padding="VALID")
+    return nn.max_pool(x, window_shape=tuple(k), strides=tuple(s),
+                       padding="VALID")
 
 
 class Fire(nn.Module):
@@ -236,6 +234,12 @@ class SequentialFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, valid_hw=None):
+        # masked buckets require frozen (running-stats) BN: batch-mode BN
+        # would compute statistics over the padded zero cells and break the
+        # bucketed == native invariant silently
+        assert self.frozen_bn or valid_hw is None, \
+            "batch-stats BN cannot run over masked buckets (frozen_bn=False"\
+            " with valid_hw)"
         for item in self.spec:
             kind = item[0]
             if kind == "conv":
@@ -397,6 +401,12 @@ class ResNetFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, valid_hw=None):
+        # masked buckets require frozen (running-stats) BN: batch-mode BN
+        # would compute statistics over the padded zero cells and break the
+        # bucketed == native invariant silently
+        assert self.frozen_bn or valid_hw is None, \
+            "batch-stats BN cannot run over masked buckets (frozen_bn=False"\
+            " with valid_hw)"
         x = Conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
         if valid_hw is not None:
             valid_hw = conv_out_extent(valid_hw, 7, 2, 3)
@@ -455,11 +465,10 @@ def trunk_valid_extent(architecture, hw):
     """
     h, w = int(hw[0]), int(hw[1])
 
-    def step(v, k, s, p):
-        return (v + 2 * p - k) // s + 1
-
-    def ceil_step(v, k, s):
-        return (v - k + s - 1) // s + 1
+    # the SAME formulas the in-graph propagation uses — shared on purpose
+    # so the host replay can never desynchronize from the traced arithmetic
+    step = conv_out_extent
+    ceil_step = ceil_out_extent
 
     def run_spec(spec):
         nonlocal h, w

@@ -49,16 +49,19 @@ def rank_database_sharded(vecs, qvecs, mesh):
     db = jax.device_put(jnp.asarray(vecs), NamedSharding(mesh, P(None, axis)))
     q = jax.device_put(jnp.asarray(qvecs), NamedSharding(mesh, P()))
 
-    @jax.jit
-    def ranked(db, q):
-        scores = jnp.dot(db.T, q, precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
-        scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
-        return jnp.argsort(-scores, axis=0)
-
-    ranks = ranked(db, q)
+    ranks = _ranked_nan_last(db, q)
     # padded columns score -inf, so they occupy exactly the last rows
     return ranks[:n]
+
+
+@jax.jit
+def _ranked_nan_last(db, q):
+    # module-level jit (a per-call closure would re-trace every validation
+    # — expensive on a backend where compiles cost 15-300 s)
+    scores = jnp.dot(db.T, q, precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
+    return jnp.argsort(-scores, axis=0)
 
 
 def _ap_from_masks(is_pos, is_junk, nres):

@@ -298,3 +298,34 @@ def test_runtime_inheritance_per_key(train_root):
         stored)
     assert resolved == {"wrappers": "cirfaketuplebatch",
                         "data": {"mean_std": [3, 4]}}
+
+
+def test_rerun_of_completed_training_raises(train_root, tmp_path):
+    """Re-launching a COMPLETED run (or resuming with the epoch count
+    lowered to/below the resume point) must raise the 'already complete'
+    resume error, not silently no-op.
+
+    Regression: the guard compared the stored epoch against the STORED
+    total — structurally always true (position <= epochs-1) — so it could
+    never fire (the reference carries the same dead assert)."""
+    from mdir_tpu.stages.train import train
+
+    def params_for(epochs):
+        params = _train_params(train_root, epochs=epochs)
+        params["learning"]["checkpoints"]["directory"] = \
+            str(tmp_path / "exp_rerun")
+        return params
+
+    train(params_for(2), ())
+
+    with pytest.raises(AssertionError, match="already complete"):
+        train(params_for(2), ())
+
+    # (lowering epochs below the resume point is structurally undetectable
+    # with store_every=0: load_latest_epoch only scans epochs under the
+    # REQUESTED total and the rolled intermediate checkpoints are gone, so
+    # that case legitimately restarts — reference behavior)
+
+    # extending past the resume point still works
+    metadata, = train(params_for(3), ())
+    assert metadata

@@ -318,3 +318,42 @@ def test_weight_init_normal():
     flat = np.concatenate([np.asarray(l).ravel()
                            for l in jax.tree_util.tree_leaves(fresh)])
     assert abs(flat.std() - 1.0) < 0.1 and abs(flat.mean()) < 0.1
+
+
+def test_regional_pool_norms_aggregate_like_reference():
+    """The regional (Rpool) descriptor is l2n(l2n(sum(region_vecs))) — the
+    reference norms the aggregate inside Rpool (cirtorch pooling.py:95)
+    and the network-level L2N norms it AGAIN. Pinned by recomposing the
+    torch-pinned ops in the reference order over the same trunk features
+    and requiring near-exact equality with the module output."""
+    import jax.numpy as jnp
+
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.models.trunks import make_trunk
+    from mdir_tpu.ops import pooling as pool_ops
+
+    model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": True,
+        "whitening": False, "pretrained": False})
+    variables = model.variables
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(1, 70, 70, 3).astype(np.float32))
+    got = np.asarray(model.apply(img))  # (1, D)
+
+    trunk = make_trunk("alexnet", name="features")
+    feats, _ = trunk.apply(
+        {"params": variables["params"]["features"]}, img)
+
+    params = variables["params"]
+    p = float(np.asarray(params["pool"]["p"]).reshape(()))
+    kernel = jnp.asarray(params["pool_whiten"]["dense"]["kernel"])
+    bias = jnp.asarray(params["pool_whiten"]["dense"]["bias"])
+    vecs = pool_ops.roipool(feats, lambda r: pool_ops.gem(r, p=p))
+    vecs = pool_ops.l2n(vecs)
+    vecs = pool_ops.l2n(vecs @ kernel + bias)
+    aggregate = pool_ops.l2n(vecs.sum(axis=-2))  # Rpool's own norm
+    expected = pool_ops.l2n(aggregate)           # the network-level norm
+    np.testing.assert_allclose(got, np.asarray(expected), rtol=1e-5,
+                               atol=1e-6)
