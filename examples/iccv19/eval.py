@@ -24,7 +24,7 @@ import yaml
 sys.path.append(os.path.abspath(os.path.join(os.path.dirname(
     os.path.realpath(__file__)), "..", "..")))
 
-from mdir_tpu.config import dict_deep_overlay
+from mdir_tpu.config import load_scenario
 from mdir_tpu.data.testdata import download_test
 from mdir_tpu.stages.validate import validate
 from mdir_tpu.tools.utils import get_data_root
@@ -40,10 +40,9 @@ def main(argv):
         scenarios = [os.path.join(here, "eval.yml"),
                      os.path.join(here, "eval_%s.yml" % scenarios[0])]
 
-    scenario = {}
-    for params in scenarios:
-        with open(params, "r") as handle:
-            scenario = dict_deep_overlay(scenario, yaml.safe_load(handle))
+    # the shared loader treats an empty / comment-only yaml as a no-op
+    # overlay instead of wiping everything merged so far
+    scenario = load_scenario(scenarios)
     if not scenario:
         sys.stderr.write("Scenario needs to be specified\n")
         return 1

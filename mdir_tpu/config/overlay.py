@@ -13,6 +13,11 @@ def _overlay_item(original, key, item):
     if isinstance(key, str) and key.endswith("*"):
         original[key[:-1]] = item
     elif isinstance(key, str) and key.endswith("+"):
+        if key[:-1] not in original:
+            raise ValueError(
+                "'%s' appends to a key the base scenario never defined "
+                "('%s' is missing — define it in an earlier file or drop "
+                "the '+')" % (key, key[:-1]))
         original[key[:-1]] += item
     elif key not in original:
         original[key] = item
@@ -53,5 +58,11 @@ def load_scenario(paths):
     scenario = {}
     for path in paths:
         with open(path, "r") as handle:
-            scenario = dict_deep_overlay(scenario, yaml.safe_load(handle))
+            loaded = yaml.safe_load(handle)
+        if loaded is None:
+            # an empty / comment-only file is a no-op overlay, NOT a
+            # wholesale replacement of everything merged so far (inside a
+            # file, `key: null` still replaces as usual)
+            continue
+        scenario = dict_deep_overlay(scenario, loaded)
     return scenario

@@ -16,7 +16,6 @@ official cirtorch ``state_dict``), bare ``features`` state dicts (the
 caffe-converted FEATURES artifacts), U-Net / autoencoder states, and
 whitening pkls ({'P','m'} -> whiten Linear, imageretrievalnet.py:229-233).
 """
-import io
 
 import numpy as np
 

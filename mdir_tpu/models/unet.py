@@ -39,10 +39,13 @@ def _apply_item(item, x, train, make_name):
                           name=make_name())(x)
     if kind == "skip":
         return SkipCat(item[1], name=make_name())(x, train)
+    if kind == "dyn":
+        return DynSkipBlock(item[1], item[2], upsample=item[3],
+                            name=make_name())(x, train)
     raise ValueError(kind)
 
 
-_PARAMETRIC = {"conv", "convT", "bn", "dropout", "skip"}
+_PARAMETRIC = {"conv", "convT", "bn", "dropout", "skip", "dyn"}
 
 
 class Seq(nn.Module):
@@ -271,7 +274,15 @@ class DynSkipBlock(nn.Module):
 
 
 class OutconvP2pUNetDynamicInterpolate(nn.Module):
-    """Resize-convolution upsampling to the exact input size."""
+    """Resize-convolution upsampling to the exact input size.
+
+    Structure AND naming mirror the reference torch module (unet.py:208-280):
+    ``down`` = Sequential(conv, LeakyReLU, SkipConnBlock) with each
+    SkipConnBlock carrying its own ``down``/``up`` Sequentials (nested block
+    appended to ``down``), ``up`` = Sequential(conv, ReLU, conv) — so torch
+    state_dict keys like ``down.2.down.2.up.0.weight`` import by direct
+    name mapping, exactly like the other P2pUNet variants.
+    """
     in_channels: int = 3
     out_channels: int = 3
     nested_levels: int = 7
@@ -281,7 +292,7 @@ class OutconvP2pUNetDynamicInterpolate(nn.Module):
     dropout: float = 0.0
     batchnorm: bool = False
 
-    def _build(self, x, train):
+    def _inner_spec(self):
         assert self.outconv_kernel % 2 == 1
         blocks = [(64, 128), (128, 256), (256, 512)][:self.nested_levels]
         blocks += [(512, 512)] * (self.nested_levels - len(blocks))
@@ -292,14 +303,14 @@ class OutconvP2pUNetDynamicInterpolate(nn.Module):
                 down.append(("bn",))
             down.append(("lrelu", 0.2))
             if nested is not None:
-                down.append(("dyn", nested))
+                down.append(nested)  # the ("dyn", ...) item, torch-indexed
             up = [("conv", outer_ch, 3, 1, 1, True)]
             if self.batchnorm:
                 up.append(("bn",))
             if self.dropout:
                 up.append(("dropout", self.dropout))
             up.append(("relu",))
-            return tuple(down), tuple(up)
+            return ("dyn", tuple(down), tuple(up), self.upsample)
 
         inner = None
         for cin, cout in reversed(blocks):
@@ -308,38 +319,18 @@ class OutconvP2pUNetDynamicInterpolate(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        size = x.shape[-3:-1]
-        inner = self._build(x, train)
-
-        def run_block(block, h, name):
-            down_spec, up_spec = block
-            y = h
-            for idx, item in enumerate(down_spec):
-                if item[0] == "dyn":
-                    y = run_block(item[1], y, name + "_n")
-                else:
-                    y = _apply_item(item, y, train,
-                                    make_name=lambda i=idx, n=name: "%s_d%d" % (n, i))
-            import jax
-            y = jax.image.resize(
-                y, y.shape[:-3] + h.shape[-3:-1] + y.shape[-1:],
-                method="linear" if self.upsample == "bilinear" else self.upsample)
-            for idx, item in enumerate(up_spec):
-                y = _apply_item(item, y, train,
-                                make_name=lambda i=idx, n=name: "%s_u%d" % (n, i))
-            return jnp.concatenate([h, y], axis=-1)
-
-        x = Conv(64, 4, 2, 1, name="down_0")(x)
-        x = leaky_relu(x, 0.2)
-        x = run_block(inner, x, "blk")
         import jax
+
+        size = x.shape[-3:-1]
+        x = Seq((("conv", 64, 4, 2, 1, True), ("lrelu", 0.2),
+                 self._inner_spec()), name="down")(x, train)
         x = jax.image.resize(
             x, x.shape[:-3] + tuple(size) + x.shape[-1:],
             method="linear" if self.upsample == "bilinear" else self.upsample)
-        x = Conv(self.outconv_channels, 3, 1, 1, name="up_0")(x)
-        x = relu(x)
-        return Conv(self.out_channels, self.outconv_kernel, 1,
-                    self.outconv_kernel // 2, name="up_2")(x)
+        return Seq((("conv", self.outconv_channels, 3, 1, 1, True),
+                    ("relu",),
+                    ("conv", self.out_channels, self.outconv_kernel, 1,
+                     self.outconv_kernel // 2, True)), name="up")(x, train)
 
 
 class OrigConvBlock(nn.Module):

@@ -263,11 +263,19 @@ def chain_from_transform(transform):
             steps.append(("normalize", ()))
         elif isinstance(t, T.ApplyClahe) and not isinstance(
                 t, T.CreateClahedImage):
+            if any(n == "tospace" for n, _ in steps):
+                # the device CLAHE plane derives from the RAW ingress RGB;
+                # after a host tospace the host chain would derive it from
+                # the converted planes instead — lowering that ordering
+                # would silently produce device != host outputs
+                return None
             p = t.params  # DSL-parsed params may arrive as strings
             steps.append(("apply_clahe", (float(int(p["clip_limit"])),
                                           str(p["colorspace"]),
                                           int(p["grid_size"]))))
         elif isinstance(t, T.AddClaheFromRgb):
+            if any(n == "tospace" for n, _ in steps):
+                return None  # same raw-RGB derivation constraint as above
             p = t.params
             steps.append(("add_clahe_fromrgb", (float(int(p["clip_limit"])),
                                                 str(p["colorspace"]),

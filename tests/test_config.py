@@ -58,3 +58,34 @@ def test_load_scenario_overlays_files(tmp_path):
     scenario = load_scenario([str(a), str(b)])
     assert scenario == {"network": {"path": "x"},
                         "data": {"k": 2, "extra": True}}
+
+
+def test_empty_overlay_file_is_noop(tmp_path):
+    """A comment-only / empty yaml overlay must not wipe the accumulated
+    scenario (yaml.safe_load returns None, which used to replace the whole
+    dict); `key: null` INSIDE a file still replaces as usual."""
+    from mdir_tpu.config.overlay import dict_deep_overlay, load_scenario
+
+    base = tmp_path / "base.yml"
+    base.write_text("a: 1\nb: {c: 2}\n")
+    notes = tmp_path / "notes.yml"
+    notes.write_text("# just a comment\n")
+    assert load_scenario([str(base), str(notes)]) == {"a": 1, "b": {"c": 2}}
+
+    nullify = tmp_path / "null.yml"
+    nullify.write_text("b: null\n")
+    assert load_scenario([str(base), str(nullify)]) == {"a": 1, "b": None}
+
+    # in-dict None values still replace through the deep merge
+    assert dict_deep_overlay({"x": {"y": 1}}, {"x": {"y": None}}) \
+        == {"x": {"y": None}}
+
+
+def test_append_overlay_missing_base_key_errors_clearly():
+    """'key+' into a base that never defined the key raises an actionable
+    error, not a bare KeyError."""
+    from mdir_tpu.config.overlay import dict_deep_overlay
+
+    with pytest.raises(ValueError, match="never defined"):
+        dict_deep_overlay({}, {"lst+": [1]})
+    assert dict_deep_overlay({"lst": [0]}, {"lst+": [1]}) == {"lst": [0, 1]}

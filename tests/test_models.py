@@ -357,3 +357,66 @@ def test_regional_pool_norms_aggregate_like_reference():
     expected = pool_ops.l2n(aggregate)           # the network-level norm
     np.testing.assert_allclose(got, np.asarray(expected), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_outconv_dynint_unet_matches_torch_geometry(rng):
+    """OutconvP2pUNetDynamicInterpolate: torch state_dict keys (down.0,
+    down.2.down.*, down.2.up.*, up.0/2 — reference unet.py:208-280) import
+    by direct name mapping and the forward matches numerically.
+
+    Regression: the flax variant used flat 'down_0'/'blk_d0' names, so
+    reference-trained dynint checkpoints could not import at all."""
+    class TorchSkipConn(tnn.Module):
+        def __init__(self, nested, outer_ch, inter_ch):
+            super().__init__()
+            mods = [tnn.Conv2d(outer_ch, inter_ch, 4, 2, 1),
+                    tnn.LeakyReLU(0.2)]
+            if nested is not None:
+                mods.append(nested)
+            nested_ch = inter_ch * (2 if nested is not None else 1)
+            self.down = tnn.Sequential(*mods)
+            self.up = tnn.Sequential(
+                tnn.Conv2d(nested_ch, outer_ch, 3, 1, 1), tnn.ReLU())
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            y = self.down(x)
+            y = F.interpolate(y, size=x.shape[-2:], mode="bilinear")
+            return torch.cat([x, self.up(y)], dim=1)
+
+    class TorchDynInt(tnn.Module):
+        def __init__(self, nested_levels=2, outconv_channels=32):
+            super().__init__()
+            blocks = [(64, 128), (128, 256), (256, 512)][:nested_levels]
+            blocks += [(512, 512)] * (nested_levels - len(blocks))
+            inner = None
+            for cin, cout in reversed(blocks):
+                inner = TorchSkipConn(inner, cin, cout)
+            self.down = tnn.Sequential(
+                tnn.Conv2d(3, 64, 4, 2, 1), tnn.LeakyReLU(0.2), inner)
+            self.up = tnn.Sequential(
+                tnn.Conv2d(128, outconv_channels, 3, 1, 1), tnn.ReLU(),
+                tnn.Conv2d(outconv_channels, 3, 3, padding=1))
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            y = self.down(x)
+            y = F.interpolate(y, size=x.shape[-2:], mode="bilinear")
+            return self.up(y)
+
+    from mdir_tpu.models.unet import OutconvP2pUNetDynamicInterpolate
+
+    torch_net = TorchDynInt(nested_levels=2).eval()
+    flax_net = OutconvP2pUNetDynamicInterpolate(3, 3, nested_levels=2)
+    variables = flax_net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    variables = torch_import.import_state_dict(variables, _state(torch_net))
+
+    x = rng.rand(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = _nhwc(torch_net(torch.tensor(x)))
+    ours = flax_net.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # jax bilinear resize vs torch F.interpolate(align_corners=False) agree
+    # at these integral up/down factors
+    np.testing.assert_allclose(ref, np.asarray(ours), rtol=1e-3, atol=1e-4)

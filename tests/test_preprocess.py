@@ -143,3 +143,22 @@ def test_chain_from_transform_reject_matrix():
     assert chain_of("pil2np | totensor") is None
     assert chain_of("") is None
     assert chain_from_transform(object()) is None
+
+
+def test_tospace_before_clahe_does_not_lower():
+    """A host chain that converts colorspace BEFORE CLAHE must stay on the
+    host: the device CLAHE plane derives from the raw ingress RGB, so
+    lowering that ordering would silently produce device != host outputs."""
+    from mdir_tpu.data.transforms import initialize_transforms
+    from mdir_tpu.ops.preprocess import chain_from_transform
+
+    mean_std = [[0.5] * 3, [0.5] * 3]
+    lowers = chain_from_transform(initialize_transforms(
+        "pil2np | apply_clahe | totensor | normalize", mean_std))
+    assert lowers is not None
+
+    for dsl in ("pil2np | tospace:lab | apply_clahe | totensor | normalize",
+                "pil2np | tospace:lab | add_clahe_fromrgb | totensor "
+                "| normalize"):
+        assert chain_from_transform(
+            initialize_transforms(dsl, mean_std)) is None, dsl
