@@ -471,7 +471,7 @@ def _measure_composed_e2e(reps=3, hw=(768, 1024), max_batch=None):
             best_budget = _pass_budget(start, pass_elapsed,
                                        instrument.get("stats"),
                                        instrument.get("budget"), shipped,
-                                       pass_tunnel)
+                                       pass_tunnel, n_items=n_images)
     assert np.isfinite(vecs).all()
     out = {"composed_e2e_imgs_per_sec": round(n_images / elapsed, 2),
            "composed_ingress_saturation": round(sat, 2)}
@@ -528,16 +528,21 @@ def _measure_mining(model, mean_std, compute_dtype, dtype_guard,
     run()  # compile + warm every bucket program
     elapsed = float("inf")
     best = None
+    probe = np.concatenate([a.reshape(-1) for a in arrays[:max_batch]])
     for _ in range(2 if n_images >= 512 else 3):
         start = time.time()
         vecs, _ranks, stats, budget = run()
         pass_s = time.time() - start
+        # adjacent probe: the pass's own window, not the headline pass's
+        pass_tunnel = _measure_tunnel(probe, reps=1)
         if pass_s < elapsed:
-            elapsed, best = pass_s, (start, pass_s, stats, budget)
+            elapsed, best = pass_s, (start, pass_s, stats, budget,
+                                     pass_tunnel)
     assert np.isfinite(vecs).all()
     out = {"mining_imgs_per_sec": round(n_images / elapsed, 1)}
     out.update({"mining_" + k: v for k, v in _pass_budget(
-        best[0], best[1], best[2], best[3], nbytes, probe_mbps).items()})
+        best[0], best[1], best[2], best[3], nbytes, best[4],
+        n_items=n_images).items()})
 
     # chip-side ceiling: same fused programs on device-staged batches
     # (what mining would run at behind a non-tunnel host), covering all
@@ -590,7 +595,8 @@ def _measure_mining(model, mean_std, compute_dtype, dtype_guard,
     return out
 
 
-def _pass_budget(pass_start, wall, stats, budget, nbytes, probe_mbps):
+def _pass_budget(pass_start, wall, stats, budget, nbytes, probe_mbps,
+                 n_items=None):
     """Decompose a streaming pass's wall time on the producer timeline.
 
     Exact partition (the four ``budget_*`` interval fields sum to
@@ -638,6 +644,18 @@ def _pass_budget(pass_start, wall, stats, budget, nbytes, probe_mbps):
         out["uplink_chunks"] = len(stats)
     if probe_mbps:
         out["budget_wire_s_at_probe"] = nbytes / probe_mbps / 1e6
+        # the pass self-describes its tunnel window: the link swings ~3x
+        # within a run (docs/bench_captures_r4.jsonl), so every e2e number
+        # carries the same-moment probed rate plus its projection onto a
+        # normalized 40 MB/s link (swap the measured wire time for the
+        # 40 MB/s wire time; floored at pure-wire) — two captures taken in
+        # different weather become comparable through this field
+        out["window_mbps"] = probe_mbps
+        if n_items:
+            wire_40 = nbytes / 40e6
+            projected_wall = max(wall - out["budget_wire_s_at_probe"]
+                                 + wire_40, wire_40)
+            out["at_40mbps_imgs_per_sec"] = n_items / projected_wall
     return {k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in out.items()}
 
@@ -684,7 +702,8 @@ def _bench_chain_e2e(model, chain_dsl, mean_std, arrays, scales, msp,
         if pass_elapsed < c_elapsed:
             c_elapsed = pass_elapsed
             c_budget = _pass_budget(start, pass_elapsed, c_stats,
-                                    c_raw_budget, c_bytes, pass_tunnel)
+                                    c_raw_budget, c_bytes, pass_tunnel,
+                                    n_items=len(craw))
     assert np.isfinite(cvecs).all()
     result["clahe_chain_e2e_imgs_per_sec"] = round(len(craw) / c_elapsed, 2)
     result["clahe_chain_ingress_saturation"] = round(c_sat, 2)
@@ -708,7 +727,15 @@ def _chain_e2e_subprocess(chain_dsl, n_images, max_batch, mean_std):
                           capture_output=True, text=True, env=env,
                           timeout=1800)
     assert proc.returncode == 0, proc.stderr[-500:]
-    sub = json.loads(proc.stdout.strip().splitlines()[-1])
+    # the subprocess prints the full result line then the compact summary
+    # tail line — lift from the FULL line (the summary drops budget_*)
+    sub = None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        cand = json.loads(line)
+        if "summary_of" not in cand:
+            sub = cand
+            break
+    assert sub is not None, proc.stdout[-500:]
 
     from mdir_tpu.data.transforms import initialize_transforms
     from mdir_tpu.ops.preprocess import chain_from_transform
@@ -722,7 +749,9 @@ def _chain_e2e_subprocess(chain_dsl, n_images, max_batch, mean_std):
         # lift the subprocess's own best-pass budget (it describes the
         # chain pass that produced clahe_chain_e2e_imgs_per_sec)
         if key.startswith("budget_") or key in ("downstream_wait_frac",
-                                                "uplink_chunks"):
+                                                "uplink_chunks",
+                                                "window_mbps",
+                                                "at_40mbps_imgs_per_sec"):
             lifted["clahe_chain_" + key] = sub[key]
     return lifted
 
@@ -867,7 +896,7 @@ def main():
             elapsed = pass_elapsed
             best_budget = _pass_budget(start, pass_elapsed, list(last_stats),
                                        dict(last_budget), shipped_bytes,
-                                       pass_tunnel)
+                                       pass_tunnel, n_items=n_images)
     assert vecs.shape[1] == n_images
     assert np.isfinite(vecs).all()
     imgs_per_sec = n_images / elapsed
@@ -1046,7 +1075,50 @@ def main():
                 result["composed_e2e_error"] = str(exc)[:200]
 
     print(json.dumps(result))
+    print(json.dumps(_headline_summary(result)))
     return 0
+
+
+# every headline claim, in the order a reader scans them; the driver's
+# record keeps only the LAST ~2k chars of stdout, and the full result line
+# outgrew that window in r04 (its tail started mid clahe_chain_budget_* —
+# the actual value/resident/mfu fields were truncated out of BENCH_r04.json)
+_SUMMARY_KEYS = (
+    "metric", "value", "unit", "vs_baseline",
+    "tunnel_mbps", "tunnel_mbps_min", "ingress_saturation",
+    "window_mbps", "at_40mbps_imgs_per_sec", "downstream_wait_frac",
+    "device_resident_imgs_per_sec", "device_resident_dtype",
+    "mfu_vs_bf16_peak", "bf16_cosine_vs_f32",
+    "clahe_chain_device_resident_imgs_per_sec",
+    "clahe_chain_e2e_imgs_per_sec", "clahe_chain_ingress_saturation",
+    "clahe_chain_window_mbps", "clahe_chain_at_40mbps_imgs_per_sec",
+    "infer_imgs_per_sec", "infer_resident_imgs_per_sec",
+    "train_tuples_per_sec", "train_resident_tuples_per_sec",
+    "train_mfu_vs_bf16_peak",
+    "mining_imgs_per_sec", "mining_resident_imgs_per_sec",
+    "mining_epoch_projection_s", "mining_epoch_resident_s",
+    "mining_window_mbps", "mining_at_40mbps_imgs_per_sec",
+    "unet_resident_imgs_per_sec",
+    "composed_resident_imgs_per_sec", "composed_mfu_vs_bf16_peak",
+    "composed_e2e_imgs_per_sec", "composed_ingress_saturation",
+    "composed_window_mbps", "composed_at_40mbps_imgs_per_sec",
+)
+
+
+def _headline_summary(result):
+    """Compact (<1.5 kB) summary repeated as the LAST stdout line so the
+    driver's truncated tail always contains every headline number; the full
+    result line directly above carries the complete budget decompositions."""
+    summary = {"summary_of": "previous line"}
+    for key, val in result.items():
+        if key.endswith("_error"):
+            summary[key] = str(val)[:60]
+    detail = [k for k in _SUMMARY_KEYS if k in result]
+    summary.update((k, result[k]) for k in detail)
+    # hard cap: drop trailing detail fields first, never the error fields
+    while len(json.dumps(summary)) > 1500 and detail:
+        summary.pop(detail.pop())
+    return summary
 
 
 if __name__ == "__main__":
