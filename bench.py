@@ -49,6 +49,38 @@ import numpy as np
 
 REFERENCE_IMGS_PER_SEC = 15.0
 V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_BYTES_PER_SEC = 819e9
+
+
+def _program_cost(lowered):
+    """(flops, bytes_accessed) from XLA's compiled cost analysis."""
+    try:
+        cost = lowered.compile().cost_analysis()
+        if not cost:
+            return None, None
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return (float(cost.get("flops", 0.0)) or None,
+                float(cost.get("bytes accessed", 0.0)) or None)
+    except Exception:
+        return None, None
+
+
+def _roofline_fields(prefix, flops, bytes_, seconds_per_call):
+    """The program's own empirical roofline: floor = max(MXU time at bf16
+    peak, HBM time at 819 GB/s) over XLA's *executed* flops/bytes;
+    ``*_roofline_frac`` = floor / measured (1.0 = the program runs at the
+    speed of light for what it actually executes — lowering waste like
+    conv_transpose's zero-taps still counts as executed flops, see
+    docs/MFU.md)."""
+    if not flops or not seconds_per_call:
+        return {}
+    floor = flops / V5E_BF16_PEAK_FLOPS
+    if bytes_:
+        floor = max(floor, bytes_ / V5E_HBM_BYTES_PER_SEC)
+    return {prefix + "roofline_floor_ms": round(floor * 1e3, 2),
+            prefix + "roofline_frac": round(floor / seconds_per_call, 3),
+            **({prefix + "bytes_accessed_gb": round(bytes_ / 1e9, 2)}
+               if bytes_ else {})}
 
 
 def _sync(x):
@@ -122,15 +154,10 @@ def _measure_resident(model, args, compute_dtype=None, reps=4):
         variables = cast_f32_tree(variables, compute_dtype)
     fused = _get_fused(model.module, scales, False, True, compute_dtype)
 
-    flops = None
     try:
-        lowered = fused.lower(variables, *args)
-        cost = lowered.compile().cost_analysis()
-        if cost:
-            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(cost.get("flops", 0.0)) or None
+        flops, bytes_ = _program_cost(fused.lower(variables, *args))
     except Exception:
-        pass
+        flops = bytes_ = None
 
     out = fused(variables, *args)
     _sync(out)  # compile + warm
@@ -145,7 +172,8 @@ def _measure_resident(model, args, compute_dtype=None, reps=4):
     elapsed = time.time() - start
     rate = reps * max_batch / elapsed
     tflops = (flops * reps / elapsed / 1e12) if flops else None
-    return rate, tflops, last
+    roof = _roofline_fields("", flops, bytes_, elapsed / reps)
+    return rate, tflops, last, roof
 
 
 def _measure_chain_resident(model, mean_std, max_batch, shape, scales,
@@ -245,15 +273,12 @@ def _measure_train_step(model, compute_dtype="auto", reps=3):
     _sync(jax.tree_util.tree_leaves(grads)[0])  # compile + warm (+ guard)
 
     flops = None
+    bytes_ = None
     try:
         net_vars = {k: v for k, v in network.model.variables.items()
                     if k != "params"}
-        lowered = step._grad_fn.lower(params, batch, valid, tgt, key, None,
-                                      net_vars)
-        cost = lowered.compile().cost_analysis()
-        if cost:
-            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(cost.get("flops", 0.0)) or None
+        flops, bytes_ = _program_cost(step._grad_fn.lower(
+            params, batch, valid, tgt, key, None, net_vars))
     except Exception:
         pass
 
@@ -276,8 +301,10 @@ def _measure_train_step(model, compute_dtype="auto", reps=3):
     resident_elapsed = time.time() - start
     resident_rate = reps * len(tuples) / resident_elapsed
     tflops = (flops * reps / resident_elapsed / 1e12) if flops else None
+    roof = _roofline_fields("train_", flops, bytes_,
+                            resident_elapsed / reps)
     return (e2e_rate, resident_rate, tflops,
-            step.compute_dtype or "float32")
+            step.compute_dtype or "float32", roof)
 
 
 def _measure_unet_resident(reps=4, batch=8, hw=(512, 768)):
@@ -296,14 +323,7 @@ def _measure_unet_resident(reps=4, batch=8, hw=(512, 768)):
     fwd = jax.jit(lambda v, x: module.apply(v, x, train=False))
     x = jnp.asarray(np.random.RandomState(5).rand(batch, *hw, 3),
                     jnp.float32)
-    flops = None
-    try:
-        cost = fwd.lower(variables, x).compile().cost_analysis()
-        if cost:
-            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    flops, bytes_ = _program_cost(fwd.lower(variables, x))
     _sync(fwd(variables, x))  # compile + warm
     start = time.time()
     outs = [fwd(variables, x) for _ in range(reps)]
@@ -313,7 +333,87 @@ def _measure_unet_resident(reps=4, batch=8, hw=(512, 768)):
     elapsed = time.time() - start
     rate = reps * batch / elapsed
     tflops = (flops * reps / elapsed / 1e12) if flops else None
-    return rate, tflops
+    roof = _roofline_fields("unet_", flops, bytes_, elapsed / reps)
+    return rate, tflops, roof
+
+
+def _measure_infer(reps=2, hw=(768, 1024), n_images=None, max_batch=None,
+                   t_params=None, wrappers="reflectpad_divisible:256"):
+    """infer-stage bulk dataset translation (SURVEY 3.5): uint8 ingress ->
+    device normalize -> p2p U-Net at pad-256 full res -> host readback,
+    through the PRODUCTION StreamingTranslator (shape-grouped batches,
+    depth-2 transfer/compute pipelining) that the rebuilt infer stage uses.
+    The reference shape of this workload is a bs=1 per-image loop
+    (mdir/stages/infer.py:46-53). e2e + device-resident rates."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdir_tpu.learning.network import Network, SingleNetwork
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.parallel.translate import StreamingTranslator
+
+    n_images = n_images or int(os.environ.get("BENCH_INFER_IMAGES", "8"))
+    max_batch = max_batch or int(os.environ.get("BENCH_INFER_BATCH", "4"))
+    t_params = t_params or {"architecture": "p2p_unet", "in_channels": 3,
+                            "out_channels": 3}
+    network = SingleNetwork(
+        initialize_model(dict(t_params)),
+        SingleNetwork.NetworkParams(model=t_params,
+                                    runtime={"wrappers": ""}))
+    network.wrappers = Network.initialize_wrappers(wrappers)
+    network.eval()
+
+    rng = np.random.RandomState(11)
+    arrays = [rng.randint(0, 256, hw + (3,)).astype(np.uint8)
+              for _ in range(n_images)]
+    nbytes = sum(a.nbytes for a in arrays)
+    mean_std = ([0.5] * 3, [0.5] * 3)
+    delivered = []
+
+    def run():
+        delivered.clear()
+        translator = StreamingTranslator(
+            network, lambda i, inp, out: delivered.append(i),
+            mean_std=mean_std, max_batch=max_batch)
+        for i, arr in enumerate(arrays):
+            translator.add(i, arr)
+        translator.finish()
+        assert len(delivered) == n_images
+
+    run()  # compile + warm (one program per shape group)
+    probe = np.concatenate([a.reshape(-1) for a in arrays[:max_batch]])
+    best, window = float("inf"), 0.0
+    for _ in range(reps):
+        start = time.time()
+        run()
+        pass_s = time.time() - start
+        pass_tunnel = _measure_tunnel(probe, reps=1)
+        if pass_s < best:
+            best, window = pass_s, pass_tunnel
+    out = {"infer_imgs_per_sec": round(n_images / best, 2)}
+    rate = nbytes / best / 1e6
+    out["infer_ingress_saturation"] = round(rate / max(window, rate), 2)
+    out["infer_window_mbps"] = round(window, 1)
+    wire_probe = nbytes / window / 1e6 if window else 0.0
+    wire_40 = nbytes / 40e6
+    out["infer_at_40mbps_imgs_per_sec"] = round(
+        n_images / max(best - wire_probe + wire_40, wire_40), 2)
+
+    # chip-side ceiling: the same jitted program on a device-staged batch
+    apply = network._jitted_apply()
+    variables = network.model.variables
+    staged = np.stack(arrays[:max_batch]).astype(np.float32) / 255.0
+    staged = (staged - np.asarray(mean_std[0], np.float32)) \
+        / np.asarray(mean_std[1], np.float32)
+    dev = jax.device_put(staged)
+    _sync(apply(variables, dev))
+    start = time.time()
+    outs = [apply(variables, dev) for _ in range(4)]
+    _sync(outs[-1])
+    res_elapsed = time.time() - start
+    out["infer_resident_imgs_per_sec"] = round(
+        4 * max_batch / res_elapsed, 1)
+    return out
 
 
 def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
@@ -373,11 +473,10 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
 
     # all 3 scales run inside ONE program per chunk (the production shape)
     call = (dev_batch, tuple(packs), mean, std, msp)
+    bytes_ = None
     try:
-        cost = fused.lower(t_vars, e_vars, *call).compile().cost_analysis()
-        if cost:
-            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(cost.get("flops", 0.0))
+        flops, bytes_ = _program_cost(fused.lower(t_vars, e_vars, *call))
+        flops = flops or 0.0
     except Exception:
         pass
 
@@ -389,7 +488,8 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
     elapsed = time.time() - start
     rate = reps * batch / elapsed
     tflops = (flops * reps / elapsed / 1e12) if flops else None
-    return rate, tflops, compute_dtype or "float32"
+    roof = _roofline_fields("composed_", flops, bytes_, elapsed / reps)
+    return rate, tflops, compute_dtype or "float32", roof
 
 
 def _measure_composed_e2e(reps=3, hw=(768, 1024), max_batch=None):
@@ -948,8 +1048,9 @@ def main():
                                    tuple(scales)) \
         if (run_resident or run_variants) else None
     if run_resident:
-        resident, tflops, headline_vecs = _measure_resident(
+        resident, tflops, headline_vecs, roof = _measure_resident(
             model, resident_args, compute_dtype=compute_dtype)
+        result.update(roof)
         result["device_resident_imgs_per_sec"] = round(resident, 1)
         result["device_resident_vs_baseline"] = round(
             resident / REFERENCE_IMGS_PER_SEC, 2)
@@ -960,7 +1061,7 @@ def main():
                 tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 3)
 
     if run_variants:
-        f32_rate, f32_tflops, f32_vecs = _measure_resident(
+        f32_rate, f32_tflops, f32_vecs, _f32_roof = _measure_resident(
             model, resident_args, compute_dtype=None)
         result["f32_device_resident_imgs_per_sec"] = round(f32_rate, 1)
         if f32_tflops:
@@ -973,8 +1074,8 @@ def main():
 
         os.environ["MDIR_TPU_PALLAS"] = "1"
         try:
-            pallas_rate, _, pallas_vecs = _measure_resident(model,
-                                                            resident_args)
+            pallas_rate, _, pallas_vecs, _p_roof = _measure_resident(
+                model, resident_args)
             drift = float(np.abs(pallas_vecs - f32_vecs).max())
             result["pallas_device_resident_imgs_per_sec"] = round(pallas_rate,
                                                                   1)
@@ -1021,11 +1122,12 @@ def main():
                     result["clahe_chain_e2e_error"] = str(exc)[:200]
 
         try:
-            rate, res_rate, train_tflops, train_dtype = \
+            rate, res_rate, train_tflops, train_dtype, train_roof = \
                 _measure_train_step(model)
             result["train_tuples_per_sec"] = round(rate, 2)
             result["train_resident_tuples_per_sec"] = round(res_rate, 2)
             result["train_dtype"] = train_dtype
+            result.update(train_roof)
             if train_tflops:
                 result["train_tflops"] = round(train_tflops, 1)
                 result["train_mfu_vs_bf16_peak"] = round(
@@ -1046,20 +1148,31 @@ def main():
         # second model family: the composition scenario's U-Net translator
         if os.environ.get("BENCH_UNET", "1") != "0":
             try:
-                unet_rate, unet_tflops = _measure_unet_resident()
+                unet_rate, unet_tflops, unet_roof = _measure_unet_resident()
                 result["unet_resident_imgs_per_sec"] = round(unet_rate, 1)
+                result.update(unet_roof)
                 if unet_tflops:
                     result["unet_tflops"] = round(unet_tflops, 1)
             except Exception as exc:
                 result["unet_error"] = str(exc)[:200]
 
+        # the infer stage's bulk dataset-translation workload (streaming
+        # batched translator; e2e over the tunnel + chip-side ceiling)
+        if os.environ.get("BENCH_INFER", "1") != "0":
+            try:
+                result.update(_measure_infer())
+            except Exception as exc:
+                result["infer_error"] = str(exc)[:200]
+
         # the full composition workload (eval_composition.yml): U-Net
         # translation -> VGG16-GeM multiscale embedding, per-image rate
         if os.environ.get("BENCH_COMPOSED", "1") != "0":
             try:
-                comp_rate, comp_tflops, comp_dtype = _measure_composed()
+                comp_rate, comp_tflops, comp_dtype, comp_roof = \
+                    _measure_composed()
                 result["composed_resident_imgs_per_sec"] = round(comp_rate, 1)
                 result["composed_dtype"] = comp_dtype
+                result.update(comp_roof)
                 if comp_tflops:
                     result["composed_tflops"] = round(comp_tflops, 1)
                     result["composed_mfu_vs_bf16_peak"] = round(
