@@ -692,6 +692,54 @@ def _measure_mining(model, mean_std, compute_dtype, dtype_guard,
         24000 / out["mining_imgs_per_sec"], 1)
     out["mining_epoch_resident_s"] = round(
         24000 / out["mining_resident_imgs_per_sec"], 1)
+
+    # device-resident image cache (the same pixels re-ship every epoch —
+    # cirtorch traindataset.py:189-204 draws from fixed pools): cold pass
+    # fills it over the wire, warm pass is the 100%-hit ceiling. Real-epoch
+    # hit rates (fixed qpool + 20k-of-91k negative redraws) sit between;
+    # docs/MINING_CACHE.md carries the parametric projection.
+    if os.environ.get("BENCH_MINING_CACHE", "1") != "0":
+        try:
+            from mdir_tpu.parallel.device_cache import DeviceImageCache
+
+            cache = DeviceImageCache(budget_mb=float(
+                os.environ.get("BENCH_MINING_CACHE_MB", "2048")))
+
+            def run_cached():
+                ext = StreamingExtractor(
+                    model, scales=[1], msp=1.0, max_batch=max_batch,
+                    normalize_mean_std=mean_std,
+                    compute_dtype=compute_dtype, dtype_guard=dtype_guard,
+                    cache=cache)
+                for i, arr in enumerate(arrays):
+                    key = "img%d" % i
+                    if cache.matches(key, ext.bucket_multiple):
+                        ext.add_cached(i, key)
+                    else:
+                        ext.add(i, arr, key=key)
+                return ext.finish(len(arrays))
+
+            start = time.time()
+            cold_vecs = run_cached()
+            out["mining_cache_cold_imgs_per_sec"] = round(
+                n_images / (time.time() - start), 1)
+            warm_elapsed = float("inf")
+            for _ in range(2):
+                start = time.time()
+                warm_vecs = run_cached()
+                warm_elapsed = min(warm_elapsed, time.time() - start)
+            out["mining_cache_warm_imgs_per_sec"] = round(
+                n_images / warm_elapsed, 1)
+            out["mining_cache_mb_used"] = round(
+                cache.stats()["bytes"] / 1e6, 1)
+            out["mining_cache_entries"] = cache.stats()["entries"]
+            drift = float(np.abs(np.asarray(warm_vecs)
+                                 - np.asarray(cold_vecs)).max())
+            out["mining_cache_drift"] = round(drift, 7)  # must be 0.0
+            out["mining_epoch_projection_warm_s"] = round(
+                24000 / out["mining_cache_warm_imgs_per_sec"], 1)
+        except Exception as exc:
+            out["mining_cache_error"] = str(exc)[:200]
     return out
 
 
@@ -1211,6 +1259,9 @@ _SUMMARY_KEYS = (
     "mining_imgs_per_sec", "mining_resident_imgs_per_sec",
     "mining_epoch_projection_s", "mining_epoch_resident_s",
     "mining_window_mbps", "mining_at_40mbps_imgs_per_sec",
+    "mining_cache_warm_imgs_per_sec", "mining_epoch_projection_warm_s",
+    "mining_cache_drift",
+    "train_roofline_frac", "composed_roofline_frac", "roofline_frac",
     "unet_resident_imgs_per_sec",
     "composed_resident_imgs_per_sec", "composed_mfu_vs_bf16_peak",
     "composed_e2e_imgs_per_sec", "composed_ingress_saturation",

@@ -231,6 +231,13 @@ class TuplesDataset:
         self.transform = transform
         self.loader = loader
         self.loader_params = {"drop_last": True, "collate_fn": collate_tuples}
+        # device-resident uint8 cache across epochs: the qpool/ppool are
+        # fixed and negatives resample from a fixed superset, so mining
+        # re-ships the same pixels every epoch over a 20-60 MB/s link
+        # (MDIR_TPU_DEVICE_CACHE_MB sizes it; unset/0 disables)
+        from ..parallel.device_cache import DeviceImageCache
+
+        self.device_cache = DeviceImageCache.from_env()
 
     def __len__(self):
         return self.qsize
@@ -280,11 +287,13 @@ class TuplesDataset:
         print(">> Extracting descriptors for query images...")
         qvecs = extract_vectors_network(
             network, [self.images[i] for i in self.qidxs], self.imsize,
-            self.transform)  # (D, Q)
+            self.transform, cache=self.device_cache)  # (D, Q)
         print(">> Extracting descriptors for negative pool...")
         poolvecs = extract_vectors_network(
             network, [self.images[i] for i in idxs2images], self.imsize,
-            self.transform)  # (D, P)
+            self.transform, cache=self.device_cache)  # (D, P)
+        if self.device_cache is not None:
+            print(">>>> Device image cache: %s" % self.device_cache.stats())
 
         print(">> Searching for hard negatives...")
         from ..ops.ranking import rank_database

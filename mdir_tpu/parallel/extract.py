@@ -397,7 +397,7 @@ class StreamingExtractor:
                  normalize_mean_std=None, compute_dtype=None,
                  bucket_multiple=BUCKET_MULTIPLE, max_batch=MAX_BATCH,
                  mesh=None, device_chain=None, dtype_guard=False,
-                 pallas=None):
+                 pallas=None, cache=None):
         from ..ops import dtypes as dtype_policy
 
         self.model = model
@@ -473,7 +473,17 @@ class StreamingExtractor:
             self.n_dev = 1
             self.max_batch = max_batch
 
-        self.buffers = collections.defaultdict(list)  # bucket -> [(idx, arr)]
+        # device-resident uint8 image cache (mining re-ships the same
+        # pixels every epoch): single-device uint8-ingress paths only —
+        # cached entries are the exact padded host payloads, so a hit is
+        # bit-identical to a fresh transfer (see parallel/device_cache.py)
+        self.cache = cache if (cache is not None and mesh is None
+                               and self.host_dtype == np.uint8) else None
+        self._stack_fns = {}    # (n, shape) -> jitted stack
+        self._zero_entries = {}  # (bucket, channels) -> device zeros
+        self._last_channels = None  # set per cache chunk (uplink thread)
+
+        self.buffers = collections.defaultdict(list)  # bucket -> [(idx, arr, key)]
         self.saw_full = set()  # buckets that compiled a full-size program
         self.results = []  # (indices, device array), synced in finish()
         self._uplink = None  # transfer/dispatch pipeline (_Uplink)
@@ -490,10 +500,20 @@ class StreamingExtractor:
         return (_round_up(arr.shape[0], self.bucket_multiple),
                 _round_up(arr.shape[1], self.bucket_multiple))
 
-    def add(self, index, arr):
+    def add(self, index, arr, key=None):
         arr = np.asarray(arr)
         bucket = self._bucket(arr)
-        self.buffers[bucket].append((index, arr))
+        self.buffers[bucket].append(
+            (index, arr, key if self.cache is not None else None))
+        if len(self.buffers[bucket]) == self.max_batch:
+            self._submit(bucket)
+
+    def add_cached(self, index, key):
+        """Enqueue a cache-resident image by id — no host pixels, no wire."""
+        ih, iw = self.cache.shape(key)
+        bucket = (_round_up(ih, self.bucket_multiple),
+                  _round_up(iw, self.bucket_multiple))
+        self.buffers[bucket].append((index, None, key))
         if len(self.buffers[bucket]) == self.max_batch:
             self._submit(bucket)
 
@@ -510,13 +530,36 @@ class StreamingExtractor:
         else:
             bsz = _round_up(len(items), self.n_dev)
         in_bucket = bucket
-        channels = items[0][1].shape[-1]
 
-        batch = np.zeros((bsz,) + in_bucket + (channels,), self.host_dtype)
+        def item_hw(item):
+            return item[1].shape[:2] if item[1] is not None \
+                else self.cache.shape(item[2])
+
+        shapes = [item_hw(it) for it in items]
+        channels = items[0][1].shape[-1] if items[0][1] is not None \
+            else self._cache_channels(items[0][2])
+
         valid = np.ones((bsz, 2), np.int32)
-        for bi, (_, arr) in enumerate(items):
-            batch[bi, :arr.shape[0], :arr.shape[1]] = arr
-            valid[bi] = arr.shape[:2]
+        for bi, hw in enumerate(shapes):
+            valid[bi] = hw
+        if self.cache is None:
+            batch = np.zeros((bsz,) + in_bucket + (channels,),
+                             self.host_dtype)
+            for bi, (_, arr, _key) in enumerate(items):
+                batch[bi, :arr.shape[0], :arr.shape[1]] = arr
+        else:
+            # per-image entries: misses ship individually (and enter the
+            # cache), hits reference HBM; the batch is stacked ON DEVICE
+            batch = []
+            for (_, arr, key), hw in zip(items, shapes):
+                if arr is None:
+                    batch.append((None, key, hw))
+                else:
+                    padded = np.zeros(in_bucket + (channels,), np.uint8)
+                    padded[:arr.shape[0], :arr.shape[1]] = arr
+                    batch.append((padded, key, hw))
+            while len(batch) < bsz:  # zero filler rows
+                batch.append((None, None, in_bucket))
 
         grids = []
         for scale in self.scales:
@@ -532,8 +575,7 @@ class StreamingExtractor:
             ypack = np.zeros((bsz, oh_b, 3), np.float32)
             xpack = np.zeros((bsz, ow_b, 3), np.float32)
             out_valid = np.zeros((bsz, 2), np.int32)
-            for bi, (_, arr) in enumerate(items):
-                ih, iw = arr.shape[:2]
+            for bi, (ih, iw) in enumerate(shapes):
                 oh = int(math.floor(ih * scale))
                 ow = int(math.floor(iw * scale))
                 gy0, gy1, gwy = torch_resize_grid(ih, oh, scale)
@@ -547,7 +589,7 @@ class StreamingExtractor:
 
         boxes = None
         if self.region_pooling:
-            boxes = self._region_boxes(items, bsz, in_bucket)
+            boxes = self._region_boxes(shapes, bsz, in_bucket)
 
         clahe_aux = None
         if self.device_chain is not None \
@@ -556,21 +598,67 @@ class StreamingExtractor:
 
             clip, grid = self.device_chain.clahe_params
             clahe_aux = pack_clahe_aux(clahe_bucket_aux(
-                [arr.shape[:2] for _, arr in items]
-                + [in_bucket] * (bsz - len(items)),
+                list(shapes) + [in_bucket] * (bsz - len(items)),
                 in_bucket, clip_limit=clip, grid=grid))
 
-        indices = [idx for idx, _ in items]
+        indices = [item[0] for item in items]
         if self.budget is not None:
             self.budget["assembly_s"] = \
                 self.budget.get("assembly_s", 0.0) + (time.time() - t0)
         self._dispatch((indices, batch, valid, grids, clahe_aux, boxes))
 
+    def _cache_channels(self, key):
+        return self.cache.peek(key).shape[-1]
+
+    def _zero_entry(self, bucket, channels):
+        zkey = (bucket, channels)
+        if zkey not in self._zero_entries:
+            self._zero_entries[zkey] = jnp.asarray(
+                np.zeros(bucket + (channels,), np.uint8))
+        return self._zero_entries[zkey]
+
+    def _stack(self, n, shape):
+        skey = (n, shape)
+        if skey not in self._stack_fns:
+            self._stack_fns[skey] = jax.jit(lambda *xs: jnp.stack(xs))
+        return self._stack_fns[skey]
+
+    def _assemble_cached(self, batch):
+        """Per-image device entries -> one stacked device batch.
+
+        Misses were padded on host in _submit; each enters the cache (one
+        small async put apiece — the wire only carries misses), hits and
+        zero fillers reference HBM. Returns (device_batch, miss_bytes)."""
+        devs = []
+        miss_bytes = 0
+        for arr, key, hw in batch:
+            if arr is not None:
+                miss_bytes += arr.nbytes
+                dev = self.cache.put(key, arr, hw) if key is not None \
+                    else jnp.asarray(arr)
+            elif key is not None:
+                dev, _ = self.cache.get(key)
+            else:
+                dev = self._zero_entry(tuple(hw), self._last_channels)
+            devs.append(dev)
+        return self._stack(len(devs), devs[0].shape)(*devs), miss_bytes
+
     def _transfer_and_launch(self, indices, batch, valid, grids, clahe_aux,
                              boxes):
         """Host->device transfers + one async program launch for a chunk."""
-        entry = {"bytes": batch.nbytes} if self.stats is not None else None
-        t0 = time.time() if entry is not None else 0.0
+        if isinstance(batch, list):  # cache-assembled chunk
+            real = next(b for b in batch if b[0] is not None or b[1])
+            self._last_channels = real[0].shape[-1] if real[0] is not None \
+                else self._cache_channels(real[1])
+            entry = {} if self.stats is not None else None
+            t0 = time.time() if entry is not None else 0.0
+            dev_batch, miss_bytes = self._assemble_cached(batch)
+            if entry is not None:
+                entry["bytes"] = miss_bytes
+            batch = dev_batch
+        else:
+            entry = {"bytes": batch.nbytes} if self.stats is not None else None
+            t0 = time.time() if entry is not None else 0.0
         if self._packed:
             dev_batch = jnp.asarray(batch)
             t1 = time.time() if entry is not None else 0.0
@@ -664,7 +752,7 @@ class StreamingExtractor:
         if self._uplink is not None:
             self._uplink.drain()
 
-    def _region_boxes(self, items, bsz, in_bucket):
+    def _region_boxes(self, shapes, bsz, in_bucket):
         """Per-scale (B, R, 4) RMAC/Rpool region grids over each image's
         valid *feature* extent (host replay of the trunk arithmetic). R is
         rounded up to a multiple of 8 to bound the compiled-program count;
@@ -677,8 +765,7 @@ class StreamingExtractor:
         for scale in self.scales:
             per_img = []
             for bi in range(bsz):
-                ih, iw = items[bi][1].shape[:2] if bi < len(items) \
-                    else in_bucket
+                ih, iw = shapes[bi] if bi < len(shapes) else in_bucket
                 if scale != 1:
                     ih = max(int(math.floor(ih * scale)), 1)
                     iw = max(int(math.floor(iw * scale)), 1)
@@ -785,8 +872,32 @@ def _stream_images_uint8(images, image_size, bbxs=None, workers=6, chain=None):
                            collate_fn=lambda items: items[0]))
 
 
+def _feed_uint8(extractor, images, image_size, bbxs=None, chain=None,
+                cache=None):
+    """Stream uint8 payloads into the extractor, consulting the device
+    cache BEFORE host decode: hits skip PIL entirely (their pixels already
+    sit in HBM), misses stream through the threaded loader and enter the
+    cache keyed by path@size."""
+    if cache is None or bbxs is not None:
+        for i, arr in enumerate(_stream_images_uint8(images, image_size,
+                                                     bbxs, chain=chain)):
+            extractor.add(i, arr)
+        return
+    keys = ["%s@%s" % (path, image_size) for path in images]
+    miss = []
+    for i, key in enumerate(keys):
+        if cache.matches(key, extractor.bucket_multiple):
+            extractor.add_cached(i, key)
+        else:
+            miss.append(i)
+    loader = _stream_images_uint8([images[i] for i in miss], image_size,
+                                  chain=chain) if miss else ()
+    for i, arr in zip(miss, loader):
+        extractor.add(i, arr, key=keys[i])
+
+
 def extract_vectors_network(network, images, image_size, transform, bbxs=None,
-                            batch_size=MAX_BATCH, mesh=None):
+                            batch_size=MAX_BATCH, mesh=None, cache=None):
     """Extract (D, N) descriptors for image paths through ``network``.
 
     Uses the fused bucketed TPU path when the network's eval wrappers are the
@@ -840,29 +951,31 @@ def extract_vectors_network(network, images, image_size, transform, bbxs=None,
 
             chain = chain_from_transform(transform)
         if mean_std is not None and len(mean_std[0]) == 3:
-            loader = _stream_images_uint8(images, image_size, bbxs)
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, normalize_mean_std=mean_std,
                 compute_dtype=compute_dtype, dtype_guard=dtype_guard,
-                pallas=pallas, mesh=mesh)
+                pallas=pallas, mesh=mesh, cache=cache)
+            _feed_uint8(extractor, images, image_size, bbxs,
+                        cache=extractor.cache)
         elif chain is not None:
             # photometric chain (CLAHE etc.) fused on device, uint8 ingress
-            loader = _stream_images_uint8(images, image_size, bbxs,
-                                          chain=chain)
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, compute_dtype=compute_dtype,
-                device_chain=chain, dtype_guard=dtype_guard, pallas=pallas, mesh=mesh)
+                device_chain=chain, dtype_guard=dtype_guard, pallas=pallas,
+                mesh=mesh, cache=cache)
+            _feed_uint8(extractor, images, image_size, bbxs, chain=chain,
+                        cache=extractor.cache)
         else:
-            loader = _stream_images(images, image_size, transform, bbxs)
             extractor = StreamingExtractor(
                 model, scales=scales, msp=msp, whiten=whiten,
                 max_batch=batch_size, compute_dtype=compute_dtype,
                 dtype_guard=dtype_guard, pallas=pallas, mesh=mesh)
-        # stream: host decode threads run ahead of the async device chunks
-        for i, arr in enumerate(loader):
-            extractor.add(i, arr)
+            # stream: host decode threads run ahead of async device chunks
+            for i, arr in enumerate(
+                    _stream_images(images, image_size, transform, bbxs)):
+                extractor.add(i, arr)
         return extractor.finish(len(images))
     arrays = _load_images(images, image_size, transform, bbxs)
 
