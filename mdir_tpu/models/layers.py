@@ -6,11 +6,13 @@ These exist so that weights imported from the reference's torch checkpoints
 frozen-vs-batch BatchNorm, and a ConvTranspose matching
 ``torch.nn.ConvTranspose2d`` geometry.
 """
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -76,13 +78,74 @@ class BatchNorm(nn.Module):
             momentum=self.momentum, epsilon=self.epsilon, name="bn")(x)
 
 
+def _phase_taps(k, p):
+    """Sub-pixel tap indices for stride-2 transposed conv.
+
+    Output row y = 2m + r receives taps w[kh] from input rows
+    x = (y + p - kh) / 2 over kh of parity (r + p) mod 2; returned per
+    phase r as kernel-tap indices in ascending-x order.
+    """
+    if (k, p) == (4, 1):
+        return {0: [3, 1], 1: [2, 0]}
+    if (k, p) == (2, 0):
+        return {0: [0], 1: [1]}
+    return None
+
+
+def _phase_conv_transpose(x, kernel, k, p):
+    """Stride-2 ConvTranspose2d as 4 sub-pixel phase convolutions.
+
+    Equivalent to the zero-insertion lowering but executes only the k²/4
+    useful taps per output pixel: XLA's conv_transpose lowering streams
+    the inserted zeros through the MXU (4x FLOP waste at k=4,s=2 —
+    measured in the composed-path roofline, docs/MFU.md §composed), while
+    each phase here is a dense (k/2)² conv at input resolution whose
+    outputs interleave into the upsampled grid. Exact up to FMA
+    reassociation (bit-exact for k=2); pinned vs lax.conv_transpose by
+    tests/test_models.py.
+    """
+    taps = _phase_taps(k, p)
+    B, H, W, _ = x.shape
+    half = k // 2
+    if half > 1:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    else:
+        xp = x
+    phases = []
+    for r in (0, 1):
+        row = []
+        for c in (0, 1):
+            wp = kernel[np.ix_(taps[r], taps[c])]
+            if half > 1:
+                sl = jax.lax.slice(xp, (0, r, c, 0),
+                                   (B, r + H + half - 1, c + W + half - 1,
+                                    xp.shape[3]))
+            else:
+                sl = xp
+            y = jax.lax.conv_general_dilated(
+                sl, wp, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            row.append(y)
+        phases.append(row)
+    y = jnp.stack([jnp.stack(row) for row in phases])  # (2, 2, B, H, W, F)
+    y = y.transpose(2, 3, 0, 4, 1, 5)
+    return y.reshape(B, 2 * H, 2 * W, y.shape[-1])
+
+
+def _phase_convt_enabled():
+    return os.environ.get("MDIR_TPU_CONVT_PHASE", "1") != "0"
+
+
 class ConvTranspose(nn.Module):
     """2D transposed convolution matching torch.nn.ConvTranspose2d.
 
     torch geometry: out = (in-1)*stride - 2*padding + kernel.
     Implemented via lax.conv_transpose with transpose_kernel=True so a
     torch weight (in, out, kh, kw) transposed to (kh, kw, out, in) produces
-    identical results.
+    identical results. The model zoo's stride-2 geometries (k=4,p=1 in the
+    pix2pix family; k=2,p=0 in OrigUNet) take the sub-pixel phase
+    decomposition instead (``_phase_conv_transpose``) unless
+    ``MDIR_TPU_CONVT_PHASE=0``: same math, no zero-insertion FLOP waste.
     """
     features: int
     kernel_size: Union[int, Tuple[int, int]]
@@ -101,13 +164,18 @@ class ConvTranspose(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (k[0], k[1], in_features, self.features))
-        # torch padding p -> lax.conv_transpose explicit padding (k-1-p)
-        pad = [(k[0] - 1 - p[0], k[0] - 1 - p[0]),
-               (k[1] - 1 - p[1], k[1] - 1 - p[1])]
-        y = jax.lax.conv_transpose(
-            x, kernel, strides=s, padding=pad,
-            dimension_numbers=("NHWC", "HWOI", "NHWC"),
-            transpose_kernel=True)
+        if (s == (2, 2) and k[0] == k[1] and p[0] == p[1]
+                and _phase_taps(k[0], p[0]) is not None
+                and _phase_convt_enabled()):
+            y = _phase_conv_transpose(x, kernel, k[0], p[0])
+        else:
+            # torch padding p -> lax.conv_transpose explicit padding (k-1-p)
+            pad = [(k[0] - 1 - p[0], k[0] - 1 - p[0]),
+                   (k[1] - 1 - p[1], k[1] - 1 - p[1])]
+            y = jax.lax.conv_transpose(
+                x, kernel, strides=s, padding=pad,
+                dimension_numbers=("NHWC", "HWOI", "NHWC"),
+                transpose_kernel=True)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias

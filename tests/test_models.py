@@ -420,3 +420,31 @@ def test_outconv_dynint_unet_matches_torch_geometry(rng):
     # jax bilinear resize vs torch F.interpolate(align_corners=False) agree
     # at these integral up/down factors
     np.testing.assert_allclose(ref, np.asarray(ours), rtol=1e-3, atol=1e-4)
+
+
+def test_convt_phase_decomposition_matches_lax(rng, monkeypatch):
+    """The sub-pixel phase path (MDIR_TPU_CONVT_PHASE, default on) equals
+    lax.conv_transpose for both zoo geometries — forward and gradients."""
+    from mdir_tpu.models.layers import ConvTranspose
+
+    for k, p, cin, cout in [(4, 1, 5, 7), (2, 0, 6, 3)]:
+        mod = ConvTranspose(cout, k, 2, p, use_bias=True)
+        x = jnp.asarray(rng.rand(2, 6, 8, cin).astype(np.float32))
+        monkeypatch.setenv("MDIR_TPU_CONVT_PHASE", "0")
+        variables = mod.init(jax.random.PRNGKey(1), x)
+
+        def loss(v, x, mod=mod):
+            return jnp.sum(jnp.sin(mod.apply(v, x)))
+
+        ref_y = mod.apply(variables, x)
+        ref_g = jax.grad(loss)(variables, x)
+        monkeypatch.setenv("MDIR_TPU_CONVT_PHASE", "1")
+        fast_y = mod.apply(variables, x)
+        fast_g = jax.grad(loss)(variables, x)
+        assert ref_y.shape == (2, 12, 16, cout)
+        np.testing.assert_allclose(np.asarray(ref_y), np.asarray(fast_y),
+                                   rtol=1e-5, atol=1e-5)
+        for key in ("kernel", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(ref_g["params"][key]),
+                np.asarray(fast_g["params"][key]), rtol=1e-4, atol=1e-4)
