@@ -95,14 +95,12 @@ def _phase_taps(k, p):
 def _phase_conv_transpose(x, kernel, k, p):
     """Stride-2 ConvTranspose2d as 4 sub-pixel phase convolutions.
 
-    Equivalent to the zero-insertion lowering but executes only the k²/4
-    useful taps per output pixel: XLA's conv_transpose lowering streams
-    the inserted zeros through the MXU (4x FLOP waste at k=4,s=2 —
-    measured in the composed-path roofline, docs/MFU.md §composed), while
-    each phase here is a dense (k/2)² conv at input resolution whose
-    outputs interleave into the upsampled grid. Exact up to FMA
-    reassociation (bit-exact for k=2); pinned vs lax.conv_transpose by
-    tests/test_models.py.
+    Mathematically identical to the zero-insertion view: each phase is a
+    dense (k/2)² conv at input resolution whose outputs interleave into
+    the upsampled grid. Exact up to FMA reassociation (bit-exact for
+    k=2); pinned vs lax.conv_transpose by tests/test_models.py. On TPU
+    this is NOT a win (see ``_phase_convt_enabled``) — XLA's lowering
+    already skips zero taps and the output interleave is the bottleneck.
     """
     taps = _phase_taps(k, p)
     B, H, W, _ = x.shape
@@ -133,7 +131,13 @@ def _phase_conv_transpose(x, kernel, k, p):
 
 
 def _phase_convt_enabled():
-    return os.environ.get("MDIR_TPU_CONVT_PHASE", "1") != "0"
+    # Probed on-chip and REJECTED as a default (round 5): XLA's TPU
+    # conv_transpose lowering already executes only useful taps (cost
+    # analysis reports identical flops for both paths), and the sub-pixel
+    # output interleave (6D transpose) lowers to a pathological Mosaic
+    # shuffle — 29,070 ms vs 55 ms per (8,512,768,3) P2pUNet forward.
+    # Kept as an opt-in alternative, pinned equal by tests.
+    return os.environ.get("MDIR_TPU_CONVT_PHASE", "0") == "1"
 
 
 class ConvTranspose(nn.Module):
@@ -143,9 +147,9 @@ class ConvTranspose(nn.Module):
     Implemented via lax.conv_transpose with transpose_kernel=True so a
     torch weight (in, out, kh, kw) transposed to (kh, kw, out, in) produces
     identical results. The model zoo's stride-2 geometries (k=4,p=1 in the
-    pix2pix family; k=2,p=0 in OrigUNet) take the sub-pixel phase
-    decomposition instead (``_phase_conv_transpose``) unless
-    ``MDIR_TPU_CONVT_PHASE=0``: same math, no zero-insertion FLOP waste.
+    pix2pix family; k=2,p=0 in OrigUNet) can opt into the sub-pixel phase
+    decomposition (``MDIR_TPU_CONVT_PHASE=1``): same math, but measured
+    far slower on TPU (see ``_phase_convt_enabled``) — default off.
     """
     features: int
     kernel_size: Union[int, Tuple[int, int]]

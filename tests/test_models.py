@@ -423,7 +423,7 @@ def test_outconv_dynint_unet_matches_torch_geometry(rng):
 
 
 def test_convt_phase_decomposition_matches_lax(rng, monkeypatch):
-    """The sub-pixel phase path (MDIR_TPU_CONVT_PHASE, default on) equals
+    """The sub-pixel phase path (MDIR_TPU_CONVT_PHASE=1, opt-in) equals
     lax.conv_transpose for both zoo geometries — forward and gradients."""
     from mdir_tpu.models.layers import ConvTranspose
 

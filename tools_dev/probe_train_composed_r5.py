@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 
@@ -151,7 +153,7 @@ def probe_unet():
 def probe_composed():
     import bench
 
-    for flag in ("1", "0"):
+    for flag in ("0",):
         os.environ["MDIR_TPU_CONVT_PHASE"] = flag
         rate, tflops, dtype, roof = bench._measure_composed(reps=3)
         rec = {"probe": f"composed_phase={flag}",
