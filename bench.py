@@ -429,7 +429,8 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
 
     from mdir_tpu.models import initialize_model
     from mdir_tpu.ops.dtypes import cast_f32_tree, resolve_compute_dtype
-    from mdir_tpu.parallel.extract import _get_composed, composed_pack_grids
+    from mdir_tpu.parallel.extract import (_get_composed, composed_crop_hws,
+                                           composed_pack_grids)
 
     batch = batch or int(os.environ.get("BENCH_COMPOSED_BATCH", "4"))
     t_model = initialize_model({"architecture": "p2p_unet",
@@ -457,11 +458,13 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
     std = jnp.asarray(e_model.meta["std"], jnp.float32)
     msp = jnp.float32(float(e_model.pool_p))
 
-    packs, flops = [], 0.0
-    for scale in (1, 1.0 / math.sqrt(2), 0.5):
+    packs, pads, flops = [], [], 0.0
+    scales = (1, 1.0 / math.sqrt(2), 0.5)
+    for scale in scales:
         sh = int(math.floor(rh * scale)) if scale != 1 else rh
         sw = int(math.floor(rw * scale)) if scale != 1 else rw
         ph, pw = -(-sh // divisor) * divisor, -(-sw // divisor) * divisor
+        pads.append((ph, pw))
         # the production transfer geometry, verbatim (shared helper)
         yrow, xrow, valid_hw = composed_pack_grids(rh, rw, scale, divisor,
                                                    ph, pw)
@@ -471,8 +474,10 @@ def _measure_composed(reps=3, batch=None, hw=(768, 1024)):
                                     (batch, 1)))
         packs.append((valid, jnp.asarray(ypack), jnp.asarray(xpack)))
 
-    # all 3 scales run inside ONE program per chunk (the production shape)
-    call = (dev_batch, tuple(packs), mean, std, msp)
+    # all 3 scales run inside ONE program per chunk (the production shape,
+    # incl. the 64-aligned embedder crop)
+    call = (dev_batch, tuple(packs), mean, std, msp,
+            composed_crop_hws((rh, rw), pads, scales))
     bytes_ = None
     try:
         flops, bytes_ = _program_cost(fused.lower(t_vars, e_vars, *call))

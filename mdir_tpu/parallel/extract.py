@@ -1032,7 +1032,8 @@ def _composed_fused_fn(translator, embedder, device_normalize,
         e_module = e_module.clone(pallas_pool=True)
     t_takes_train = _accepts_train(t_module)
 
-    def one_scale(t_vars, e_vars, batch, valid_scaled, ypack, xpack, msp):
+    def one_scale(t_vars, e_vars, batch, valid_scaled, ypack, xpack, msp,
+                  crop_hw=None):
         # packed (B, P, 4) f32 per axis: [idx0, idx1, weight, unpad-shift]
         y0 = ypack[..., 0].astype(jnp.int32)
         y1 = ypack[..., 1].astype(jnp.int32)
@@ -1052,9 +1053,18 @@ def _composed_fused_fn(translator, embedder, device_normalize,
             t_out = t_module.apply(t_vars, xpad, train=False)
         else:
             t_out = t_module.apply(t_vars, xpad)
-        # un-pad: shift the translated crop to the origin
+        # un-pad: shift the translated crop to the origin. The embedder only
+        # needs the bucket's max scaled extent (64-aligned), not the
+        # translator's 256-aligned pad — its valid-extent masking makes any
+        # covering shape exact (the bucketing invariant), so the unpad
+        # gather emits the smaller static crop and the VGG/trunk tail skips
+        # the dead pad rows (~10% of composed flops at the 0.707 scale,
+        # docs/MFU.md §5)
         ys = ypack[..., 3].astype(jnp.int32)
         xs = xpack[..., 3].astype(jnp.int32)
+        if crop_hw is not None:
+            ys = ys[:, :crop_hw[0]]
+            xs = xs[:, :crop_hw[1]]
         # zero weights (a pure gather) in t_out's dtype so a bf16 translator
         # output stays bf16 into the embedder
         zero_y = jnp.zeros(ys.shape, t_out.dtype)
@@ -1066,18 +1076,22 @@ def _composed_fused_fn(translator, embedder, device_normalize,
         vecs = e_module.apply(e_vars, t0, valid_hw=valid_scaled)  # (B, D)
         return vecs.astype(jnp.float32) ** msp
 
-    def fn(t_vars, e_vars, batch, packs, mean, std, msp):
+    def fn(t_vars, e_vars, batch, packs, mean, std, msp, crop_hws=None):
         if device_normalize:
             batch = batch.astype(jnp.float32) / 255.0
             batch = (batch - mean) / std
         # packs: per-scale (valid_scaled, ypack, xpack) — static shapes
         # differ per scale, so this is a python loop over S branches of one
-        # compiled program, not a lax.scan
+        # compiled program, not a lax.scan. crop_hws (static) carries each
+        # scale's 64-aligned embedder crop, None for no cropping.
+        crops = crop_hws or (None,) * len(packs)
         return jnp.stack([
-            one_scale(t_vars, e_vars, batch, valid_scaled, ypack, xpack, msp)
-            for valid_scaled, ypack, xpack in packs])  # (S, B, D)
+            one_scale(t_vars, e_vars, batch, valid_scaled, ypack, xpack,
+                      msp, crop_hw)
+            for (valid_scaled, ypack, xpack), crop_hw
+            in zip(packs, crops)])  # (S, B, D)
 
-    return jax.jit(fn)
+    return jax.jit(fn, static_argnums=(7,))
 
 
 def composed_pack_grids(rh, rw, scale, divisor, ph, pw):
@@ -1111,6 +1125,28 @@ def composed_pack_grids(rh, rw, scale, divisor, ph, pw):
     ypack[:, 3] = np.clip(np.arange(ph) + top, 0, ph - 1)
     xpack[:, 3] = np.clip(np.arange(pw) + left, 0, pw - 1)
     return ypack, xpack, (sh, sw)
+
+
+def composed_crop_hws(raw_bucket, pads, scales, granularity=64):
+    """Static embedder crops for one composed chunk key.
+
+    Per scale: the chunk's max scaled extent (from the raw bucket shape,
+    the grouping key's upper bound on every image's raw extent) rounded up
+    to ``granularity`` and clipped to the translator pad. 64 keeps the
+    number of distinct embedder program shapes small (each new shape costs
+    an axon compile) while recovering most of the 256-pad waste; the
+    masked embedder makes any covering crop exact. Returns a hashable
+    tuple — it rides ``_composed_fused_fn``'s static argnum.
+    """
+    rb_h, rb_w = raw_bucket
+    out = []
+    for scale, (ph, pw) in zip(scales, pads):
+        sh = int(math.floor(rb_h * scale)) if scale != 1 else rb_h
+        sw = int(math.floor(rb_w * scale)) if scale != 1 else rb_w
+        ch = min(ph, _round_up(max(sh, 1), granularity))
+        cw = min(pw, _round_up(max(sw, 1), granularity))
+        out.append((ch, cw))
+    return tuple(out)
 
 
 #: compiled composed programs keyed by the module ids; entries evict when
@@ -1258,7 +1294,7 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
     buffers = collections.defaultdict(list)
     results = []
 
-    def launch(indices, batch, packs):
+    def launch(indices, batch, packs, crop_hws):
         put = jnp.asarray if shard is None \
             else (lambda a: jax.device_put(a, shard))
         entry = {"bytes": batch.nbytes} if stats is not None else None
@@ -1267,7 +1303,8 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
         t1 = time.time() if entry is not None else 0.0
         dev_packs = tuple((put(valid), put(ypack), put(xpack))
                           for valid, ypack, xpack in packs)
-        args = (dev_batch, dev_packs, mean, std, jnp.float32(msp))
+        args = (dev_batch, dev_packs, mean, std, jnp.float32(msp),
+                crop_hws)
         if entry is not None:
             # same async-put semantics as StreamingExtractor: put_s is
             # dispatch time, the wire drains in the pass's sync tail
@@ -1327,7 +1364,9 @@ def extract_vectors_composed(network, images, image_size, transform, bbxs=None,
         if budget is not None:
             budget["assembly_s"] = \
                 budget.get("assembly_s", 0.0) + (time.time() - t_sub)
-        uplink.submit(([i for i, _ in items], batch, tuple(packs)))
+        crop_hws = composed_crop_hws((rh_b, rw_b), pads, scales)
+        uplink.submit(([i for i, _ in items], batch, tuple(packs),
+                       crop_hws))
 
     # chunks group by (raw bucket, EVERY scale's padded shape): the raw
     # batch ships once and all scales run in one program — with the coarse

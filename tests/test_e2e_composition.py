@@ -697,3 +697,53 @@ def test_frozen_composition_train_is_noop(composed_checkpoint):
     assert network.stage == EVAL
     network.train()
     assert network.stage == EVAL
+
+
+def test_composed_embedder_crop_equals_uncropped(rng):
+    """The 64-aligned embedder crop (composed_crop_hws, static argnum of the
+    fused program) is exact: the masked embedder makes any covering shape
+    equal, so cropping the translator's 256-aligned pad down to the bucket's
+    scaled extent must not move descriptors."""
+    import math
+
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.parallel.extract import (_get_composed, composed_crop_hws,
+                                           composed_pack_grids)
+
+    t_model = initialize_model({"architecture": "p2p_unet",
+                                "in_channels": 3, "out_channels": 3})
+    e_model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": False,
+        "whitening": False, "pretrained": False})
+    fused = _get_composed(t_model, e_model, True, None)
+
+    rh, rw, div, batch = 96, 160, 256, 2
+    scales = (1, 0.5)
+    batch_u8 = jnp.asarray(
+        (rng.rand(batch, rh, rw, 3) * 255).astype(np.uint8))
+    mean = jnp.asarray(e_model.meta["mean"], jnp.float32)
+    std = jnp.asarray(e_model.meta["std"], jnp.float32)
+
+    packs, pads = [], []
+    for scale in scales:
+        sh = int(math.floor(rh * scale)) if scale != 1 else rh
+        sw = int(math.floor(rw * scale)) if scale != 1 else rw
+        ph, pw = -(-sh // div) * div, -(-sw // div) * div
+        pads.append((ph, pw))
+        yrow, xrow, valid_hw = composed_pack_grids(rh, rw, scale, div,
+                                                   ph, pw)
+        packs.append((
+            jnp.asarray(np.tile(np.array([valid_hw], np.int32), (batch, 1))),
+            jnp.asarray(np.tile(yrow[None], (batch, 1, 1))),
+            jnp.asarray(np.tile(xrow[None], (batch, 1, 1)))))
+
+    crops = composed_crop_hws((rh, rw), pads, scales)
+    # the crop must actually bite at this geometry (96x160 inside 256x256)
+    assert crops == ((128, 192), (64, 128)), crops
+    args = (t_model.variables, e_model.variables, batch_u8, tuple(packs),
+            mean, std, jnp.float32(3.0))
+    uncropped = np.asarray(fused(*args))
+    cropped = np.asarray(fused(*args, crops))
+    assert cropped.shape == uncropped.shape
+    np.testing.assert_allclose(cropped, uncropped, rtol=1e-5, atol=1e-6)
