@@ -246,17 +246,40 @@ class TuplesDataset:
         if self.qidxs is None:
             raise RuntimeError(
                 "Run dataset.prepare_epoch(network) to create the epoch subset")
-        output = [self.loader(self.images[self.qidxs[index]]),
-                  self.loader(self.images[self.pidxs[index]])]
-        output += [self.loader(self.images[n]) for n in self.nidxs[index]]
-        if self.imsize is not None:
-            output = [imresize(img, self.imsize) for img in output]
-        # item_transform overrides the host chain for training items only
-        # (the device-preprocess path ships raw uint8; mining extraction
-        # keeps self.transform so chain detection sees the real chain)
-        transform = self.item_transform or self.transform
-        if transform is not None:
-            output = [transform(img) for img in output]
+        # mining->train handoff: with the device cache on and the host
+        # chain lowered to device (item_transform = raw uint8 mode, no host
+        # randomness), a tuple image mining just shipped is referenced by
+        # key instead of decoded — assemble_train_batch stacks it from HBM
+        # (same "path@size" keys as _feed_uint8, same imresize both sides)
+        use_cache = self.device_cache is not None \
+            and self.item_transform is not None
+
+        def load(idx):
+            if use_cache:
+                from ..parallel.device_cache import CachedImageRef
+
+                key = "%s@%s" % (self.images[idx], self.imsize)
+                got = self.device_cache.get(key)
+                if got is not None:
+                    return CachedImageRef(key, got[1])
+            return self.loader(self.images[idx])
+
+        output = [load(self.qidxs[index]), load(self.pidxs[index])]
+        output += [load(n) for n in self.nidxs[index]]
+
+        def prepare(img):
+            if not hasattr(img, "thumbnail"):  # CachedImageRef passthrough
+                return img
+            if self.imsize is not None:
+                img = imresize(img, self.imsize)
+            # item_transform overrides the host chain for training items
+            # only (the device-preprocess path ships raw uint8; mining
+            # extraction keeps self.transform so chain detection sees the
+            # real chain)
+            transform = self.item_transform or self.transform
+            return transform(img) if transform is not None else img
+
+        output = [prepare(img) for img in output]
         target = np.array([-1, 1] + [0] * len(self.nidxs[index]), np.float32)
         return output, target
 

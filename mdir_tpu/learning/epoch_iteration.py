@@ -133,8 +133,25 @@ class SupervisedEpoch:
                 # optimizer state (one-time re-jit of the update program)
                 optimizer.shard_state(mesh)
 
-        batch, valid, targets, batch_size = prepare_batch(batch_images,
-                                                          batch_targets)
+        from ..parallel.device_cache import CachedImageRef
+
+        flat_refs = isinstance(batch_images, list) and batch_images \
+            and isinstance(batch_images[0], list) \
+            and any(isinstance(img, CachedImageRef)
+                    for tpl in batch_images for img in tpl)
+        if flat_refs:
+            # mining->train handoff: tuple images mining just shipped stack
+            # from HBM (bit-identical to the host-padded bucket, pinned by
+            # tests/test_device_cache.py); only cache misses ride the wire
+            cache = self.data_loader.dataset.device_cache
+            flat = [img for tpl in batch_images for img in tpl]
+            batch, valid, _ = cache.assemble_train_batch(flat)
+            targets = np.concatenate(
+                [np.asarray(t).reshape(-1) for t in batch_targets])
+            batch_size = len(batch_images)
+        else:
+            batch, valid, targets, batch_size = prepare_batch(batch_images,
+                                                              batch_targets)
         clahe_aux = None
         chain = self._train_step.device_chain
         if chain is not None and chain.clahe_params is not None:
@@ -212,9 +229,20 @@ class SupervisedEpoch:
         for train_data in network.train_data():
             logger(train_data["key"], train_data["data"], train_data["dtype"])
 
+    def _materialize_ref(self, img):
+        """Cache-resident sample -> raw pixels (sample-logging iterations
+        only; the entry IS the padded raw payload, cropped to its extent)."""
+        from ..parallel.device_cache import CachedImageRef
+
+        if isinstance(img, CachedImageRef):
+            cache = self.data_loader.dataset.device_cache
+            return np.asarray(cache.peek(img.key))[:img.hw[0], :img.hw[1]]
+        return img
+
     def _log_traindata_sample(self, image, logger, label):
         if not isinstance(image, list):
             image = [image]
+        image = [self._materialize_ref(img) for img in image]
         dbg = {}
         for j, img in enumerate(image):
             img = np.asarray(img)

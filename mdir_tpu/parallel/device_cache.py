@@ -22,7 +22,21 @@ import threading
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+
+
+class CachedImageRef:
+    """``__getitem__`` stand-in for a cache-resident image (the mining→train
+    handoff): carries the cache key + valid extent instead of pixels, so the
+    training loader skips PIL decode AND the wire for images mining just
+    shipped. Consumed by ``DeviceImageCache.assemble_train_batch``."""
+
+    __slots__ = ("key", "hw")
+
+    def __init__(self, key, hw):
+        self.key = key
+        self.hw = tuple(hw)
 
 
 class DeviceImageCache:
@@ -34,6 +48,8 @@ class DeviceImageCache:
         self._entries = collections.OrderedDict()  # key -> (dev, hw, nbytes)
         self._bytes = 0
         self._lock = threading.Lock()
+        self._fit_fns = {}
+        self._stack_fns = {}
         self.hits = 0
         self.misses = 0
         self.evictions = 0
@@ -100,6 +116,70 @@ class DeviceImageCache:
                 self._bytes -= nbytes
                 self.evictions += 1
         return dev
+
+    def _fit(self, in_shape, out_hw):
+        """jit: slice/zero-pad one entry to the train bucket shape.
+
+        Exact by construction: entry pixels beyond the image's valid extent
+        are zeros (the entry IS the zero-padded host payload), and the train
+        bucket covers every image's extent, so slice-then-pad reproduces the
+        host-padded row bit-for-bit."""
+        fkey = (in_shape, tuple(out_hw))
+        if fkey not in self._fit_fns:
+            mh = min(in_shape[0], out_hw[0])
+            mw = min(in_shape[1], out_hw[1])
+            pad = ((0, out_hw[0] - mh), (0, out_hw[1] - mw), (0, 0))
+            self._fit_fns[fkey] = jax.jit(
+                lambda e: jnp.pad(e[:mh, :mw], pad))
+        return self._fit_fns[fkey]
+
+    def _stack(self, n, shape):
+        skey = (n, shape)
+        if skey not in self._stack_fns:
+            self._stack_fns[skey] = jax.jit(lambda *xs: jnp.stack(xs))
+        return self._stack_fns[skey]
+
+    def assemble_train_batch(self, flat_items, bucket_multiple=32):
+        """Flattened tuple images (arrays | CachedImageRef) -> device batch.
+
+        Returns ``(dev_batch (N, BH, BW, C) uint8, valid (N, 2) int32,
+        miss_bytes)``, bit-identical to ``prepare_batch``'s host-padded
+        bucket (pinned by tests): hits are fitted from HBM entries
+        (slice/pad programs keyed by shape pair), misses pad on host and
+        ride the wire as today. Read-only — train-time misses do NOT enter
+        the cache, so entries keep mining's bucket padding (its
+        ``matches()`` contract)."""
+        def up(v):
+            return -(-int(v) // bucket_multiple) * bucket_multiple
+
+        extents = [it.hw if isinstance(it, CachedImageRef) else it.shape[:2]
+                   for it in flat_items]
+        bh = up(max(h for h, _ in extents))
+        bw = up(max(w for _, w in extents))
+        channels = next((it.shape[-1] for it in flat_items
+                         if not isinstance(it, CachedImageRef)), None)
+        devs, miss_bytes = [], 0
+        for it in flat_items:
+            if isinstance(it, CachedImageRef):
+                try:
+                    entry = self.peek(it.key)
+                except KeyError:
+                    raise RuntimeError(
+                        "device cache entry %r evicted between tuple load "
+                        "and batch assembly — raise MDIR_TPU_DEVICE_CACHE_MB"
+                        % (it.key,)) from None
+                if channels is None:
+                    channels = entry.shape[-1]
+                assert entry.shape[-1] == channels, \
+                    (entry.shape, channels)  # chain changed between phases?
+                devs.append(self._fit(entry.shape, (bh, bw))(entry))
+            else:
+                padded = np.zeros((bh, bw, it.shape[-1]), np.uint8)
+                padded[:it.shape[0], :it.shape[1]] = it
+                miss_bytes += padded.nbytes
+                devs.append(jnp.asarray(padded))
+        batch = self._stack(len(devs), (bh, bw, channels))(*devs)
+        return batch, np.asarray(extents, np.int32), miss_bytes
 
     def stats(self):
         with self._lock:

@@ -162,3 +162,38 @@ def test_mining_uses_cache_from_env(rng, tmp_path, monkeypatch):
     assert cache is not None and cache.budget_bytes == 64_000_000
     monkeypatch.setenv("MDIR_TPU_DEVICE_CACHE_MB", "0")
     assert DIC.from_env() is None
+
+
+def test_assemble_train_batch_equals_prepare_batch(rng):
+    """The mining->train handoff's device assembly is bit-identical to the
+    host-padded tuple bucket (mixed hits/misses, varied shapes, entries
+    padded for mining's 64-bucketing, train bucket at 32)."""
+    from mdir_tpu.learning.train_step import pad_image_batch
+    from mdir_tpu.parallel.device_cache import CachedImageRef
+
+    cache = DeviceImageCache(64)
+    shapes = [(48, 64), (64, 48), (37, 61), (64, 64), (20, 33)]
+    images = [(rng.rand(h, w, 3) * 255).astype(np.uint8) for h, w in shapes]
+
+    def up64(v):
+        return -(-v // 64) * 64
+
+    flat = []
+    for i, img in enumerate(images):
+        if i % 2 == 0:  # cache hit: entry padded at mining's bucketing
+            h, w = img.shape[:2]
+            padded = np.zeros((up64(h), up64(w), 3), np.uint8)
+            padded[:h, :w] = img
+            cache.put("im%d@64" % i, padded, (h, w))
+            flat.append(CachedImageRef("im%d@64" % i, (h, w)))
+        else:
+            flat.append(img)
+
+    dev_batch, valid, miss_bytes = cache.assemble_train_batch(flat)
+    ref_batch, ref_valid = pad_image_batch(images, 32)
+    assert dev_batch.shape == ref_batch.shape
+    np.testing.assert_array_equal(np.asarray(dev_batch), ref_batch)
+    np.testing.assert_array_equal(valid, ref_valid)
+    assert miss_bytes == sum(
+        ref_batch[0].nbytes for i in range(len(images)) if i % 2 == 1)
+    assert cache.stats()["hits"] == 0  # assembly peeks, no stat pollution

@@ -360,3 +360,90 @@ def test_cirnetwork_pathless_resume_consistency():
     wrong["model"]["pooling"] = "mac"
     with pytest.raises(AssertionError):
         initialize_network(wrong, state=network.state_dict())
+
+
+def test_mining_train_handoff_exact_and_active(sfm_root, tmp_path,
+                                               monkeypatch):
+    """MDIR_TPU_DEVICE_CACHE_MB: training batches assemble from the entries
+    mining just shipped (the handoff actually fires) and the training losses
+    are IDENTICAL to the uncached run (deterministic seed -> same tuples;
+    assembly is bit-exact)."""
+    from mdir_tpu.parallel.device_cache import DeviceImageCache
+    from mdir_tpu.stages.train import train
+
+    def params(exp):
+        mean_std = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+        return {
+            "network": {
+                "type": "CirNetwork", "path": None,
+                "model": {"architecture": "cirnet",
+                          "cir_architecture": "alexnet",
+                          "local_whitening": False, "pooling": "gem",
+                          "regional": False, "whitening": False,
+                          "pretrained": False},
+                "initialize": {"weights": "default", "seed": 0},
+                "runtime": {
+                    "wrappers": {"train": "cirfaketuplebatch", "eval": ""},
+                    "data": {"mean_std": mean_std,
+                             "transforms": "pil2np | totensor | normalize"},
+                },
+            },
+            "learning": {
+                "type": "TrainValLearning",
+                "checkpoints": {"directory": str(tmp_path / exp),
+                                "store_every": 0, "checkpoint_every": 1},
+                "training": {
+                    "type": "EpochTraining", "epochs": 2,
+                    "deterministic": True, "seed": 0,
+                    "criterion": {"loss": "contrastive", "margin": 0.7,
+                                  "eps": 1e-6},
+                    "optimizer": {"algorithm": "adam", "lr": 1e-6,
+                                  "weight_decay": 1e-6},
+                    "scheduler": {"algorithm": "gamma",
+                                  "gamma": "exp(-0.01)"},
+                    "epoch_iteration": {
+                        "type": "SupervisedEpoch", "data": "train",
+                        "criterion": "default", "batch_average": False,
+                        "fakebatch": True,
+                    },
+                },
+                "validation": False,
+            },
+            "output": {"learning": {"progress": {"print_each": 100}}},
+            "data": {
+                "train": {
+                    "mean_std": mean_std,
+                    "transforms": "pil2np | totensor | normalize",
+                    "dataset": {"name": "CirTuples",
+                                "dataset": "retrieval-SfM-tiny",
+                                "split": "train", "image_size": 64,
+                                "neg_num": 2,
+                                "dataset_pkl": str(
+                                    sfm_root / "data" / "train" /
+                                    "retrieval-SfM-tiny" /
+                                    "retrieval-SfM-tiny.pkl"),
+                                "image_dir": None,
+                                "query_size": 4, "pool_size": 16},
+                    "loader": {"batch_size": 2, "num_workers": 0},
+                },
+            },
+        }
+
+    monkeypatch.delenv("MDIR_TPU_DEVICE_CACHE_MB", raising=False)
+    base, = train(params("exp_nocache"), ())
+    base_losses = base["metrics"]["train/learning/loss:total_avg.4"]
+
+    assembled = []
+    orig = DeviceImageCache.assemble_train_batch
+
+    def spy(self, flat, **kw):
+        assembled.append(len(flat))
+        return orig(self, flat, **kw)
+
+    monkeypatch.setattr(DeviceImageCache, "assemble_train_batch", spy)
+    monkeypatch.setenv("MDIR_TPU_DEVICE_CACHE_MB", "64")
+    cached, = train(params("exp_cache"), ())
+    cached_losses = cached["metrics"]["train/learning/loss:total_avg.4"]
+
+    assert assembled, "handoff never fired (no device-assembled batches)"
+    np.testing.assert_allclose(cached_losses, base_losses, rtol=0, atol=0)

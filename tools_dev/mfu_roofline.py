@@ -6,11 +6,12 @@ default all):
 * ``extract`` — ResNet101-GeM fused multiscale extraction (batch 8, scales
   1 / 0.707 / 0.5 of 768x1024; the bench's exact geometry).
 * ``train``   — the contrastive train step at the reference's production
-  tuple geometry (5 tuples x 7 images @ 362x362 = batch 35; cirtorch
-  train.py defaults): forward + backward-data + backward-weight per conv,
-  plus the f32 SGD/momentum update traffic. Remat does NOT fire at this
-  geometry (35*362*362*3 = 13.8M < the 2^24 gate in
-  learning/train_step.py), so no recompute term.
+  tuple geometry (5 tuples x 7 images @ 362 max-side = batch 35, padded by
+  prepare_batch to the 384^2 32-bucket; cirtorch train.py defaults):
+  forward + backward-data + backward-weight per conv, plus the f32
+  SGD/momentum update traffic. Remat does NOT fire at this geometry
+  (35*384*384*3 = 15.5M < the 2^24 gate in learning/train_step.py), so no
+  recompute term.
 * ``composed`` — the eval_composition.yml workload (reference
   eval_composition.yml:1-11): p2p U-Net translation + VGG16-GeM embedding,
   all 3 scales of 768x1024 padded to 256-divisible, batch 4 (the bench's
@@ -219,7 +220,9 @@ def extract_main():
 
 
 def train_main():
-    batch, hw = 35, (362, 362)
+    # prepare_batch pads the 362-max-side tuples to the 32-multiple bucket
+    # (384^2) — the compiled step's real geometry
+    batch, hw = 35, (384, 384)
     convs = resnet101_convs(*hw)
     entries = list(_fwd_entries(convs, batch))
     entries += list(_bwd_entries(convs, batch))
@@ -228,7 +231,8 @@ def train_main():
     n_params = sum(cin * cout * k * k for _, cin, cout, k, _, _, _ in convs)
     opt_bytes = 5 * 4 * n_params
     print(f"tuple geometry: {batch} images @ {hw[0]}x{hw[1]} "
-          f"(5 tuples x 7; cirtorch train.py defaults); remat OFF "
+          f"(5 tuples x 7 @ 362 padded to the 32-bucket; cirtorch "
+          f"train.py defaults); remat OFF "
           f"({batch * hw[0] * hw[1] * 3 / 2**24:.2f} of the 2^24 gate)")
     t = _report("train: ResNet101 contrastive step fwd+bwd", tot, 5,
                 extra_bytes=opt_bytes)
