@@ -1297,7 +1297,7 @@ _SUMMARY_KEYS = (
     "infer_imgs_per_sec", "infer_resident_imgs_per_sec",
     "infer_window_mbps", "infer_at_40mbps_imgs_per_sec",
     "train_tuples_per_sec", "train_resident_tuples_per_sec",
-    "train_mfu_vs_bf16_peak",
+    "train_cached_tuples_per_sec", "train_mfu_vs_bf16_peak",
     "mining_imgs_per_sec", "mining_resident_imgs_per_sec",
     "mining_epoch_projection_s", "mining_epoch_resident_s",
     "mining_window_mbps", "mining_at_40mbps_imgs_per_sec",
