@@ -64,6 +64,13 @@ class CirDatasetAp:
             self.gnd = cfg["gnd"]
 
         assert not params, params.keys()
+        # validation re-extracts the SAME db/query images every epoch — the
+        # ideal device-cache population (MDIR_TPU_DEVICE_CACHE_MB; each
+        # consumer owns an independent budget). First validation fills it
+        # over the wire; later epochs hit HBM (bit-identical, pinned)
+        from ..parallel.device_cache import DeviceImageCache
+
+        self._device_cache = DeviceImageCache.from_env()
 
     def __call__(self, network, device=None, logger=None):
         stopwatch = StopWatch()
@@ -76,7 +83,8 @@ class CirDatasetAp:
 
         print(">> {}: database images...".format(self.dataset))
         vecs = extract_vectors_network(network, self.images, self.image_size,
-                                       self.transforms, mesh=mesh)
+                                       self.transforms, mesh=mesh,
+                                       cache=self._device_cache)
         print(">> {}: query images...".format(self.dataset))
         if self.images == self.qimages and set(self.bbxs) == {None}:
             # alias, don't copy: the db matrix can be ~GB on the 1-core
@@ -85,7 +93,8 @@ class CirDatasetAp:
         else:
             qvecs = extract_vectors_network(network, self.qimages,
                                             self.image_size, self.transforms,
-                                            bbxs=self.bbxs, mesh=mesh)
+                                            bbxs=self.bbxs, mesh=mesh,
+                                            cache=self._device_cache)
         stopwatch.lap("extract_descriptors")
 
         print(">> {}: Evaluating...".format(self.dataset))

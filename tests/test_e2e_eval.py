@@ -305,3 +305,49 @@ def test_eval_cli_shortcut_scenarios_parse():
         assert str(scenario["network"]["path"]).startswith("http"), shortcut
         assert {"roxford5k", "rparis6k", "247tokyo1k"} \
             <= set(scenario["validation"].keys()), shortcut
+
+
+def test_score_device_cache_across_calls(data_root, checkpoint_and_whitening,
+                                         monkeypatch):
+    """MDIR_TPU_DEVICE_CACHE_MB: the validation score re-extracts the SAME
+    db/query images every epoch — the second call hits the score-owned
+    device cache and the mAP is identical to the first (bit-exact entries).
+    Queries carry bbxs, which bypass the cache (pinned by the hit count
+    matching the db size only)."""
+    from mdir_tpu.learning.network import CirNetwork
+    from mdir_tpu.models import initialize_model
+    from mdir_tpu.optim.scores import initialize_score
+
+    monkeypatch.setenv("MDIR_TPU_DEVICE_CACHE_MB", "64")
+    score = initialize_score({
+        "type": "cirdatasetap",
+        "dataset": "roxford5k",
+        "image_size": 64,
+        "transforms": "pil2np | totensor | normalize",
+        "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]],
+    })
+    assert score._device_cache is not None
+
+    model = initialize_model({
+        "architecture": "cirnet", "cir_architecture": "alexnet",
+        "local_whitening": False, "pooling": "gem", "regional": False,
+        "whitening": False, "pretrained": False})
+    network = CirNetwork(model, CirNetwork.NetworkParams(
+        model={}, runtime={"wrappers": "",
+                           "data": {"mean_std": [model.meta["mean"],
+                                                 model.meta["std"]],
+                                    "transforms":
+                                        "pil2np | totensor | normalize"}}))
+
+    logged1, logged2 = [], []
+    score(network, logger=lambda *a: logged1.append(a))
+    stats_first = score._device_cache.stats()
+    assert stats_first["entries"] == 8  # the db images entered the cache
+    score(network, logger=lambda *a: logged2.append(a))
+    stats_second = score._device_cache.stats()
+    assert stats_second["hits"] >= stats_first["hits"] + 8  # warm db pass
+
+    def score_rows(logged):
+        return [a for a in logged if a[2] == "score_avg"]
+
+    assert score_rows(logged1) == score_rows(logged2)
