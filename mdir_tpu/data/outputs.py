@@ -81,10 +81,17 @@ class RgbImageSaver(DataOutput):
 
         from ..tools import imgtools
 
-        img = imgtools.get_image(
-            (np.asarray(input_data[0]), np.asarray(output_data[0])),
-            self.unnormalize["mean_std"], self.unnormalize["transforms"],
-            stretch_by=self.stretch_by)
+        out = np.asarray(output_data[0])
+        if out.dtype == np.uint8:
+            # device-u8 egress (StreamingTranslator's guarded fast path):
+            # the denormalize->uint8 conversion already ran on device,
+            # bit-identical to get_image's plain branch
+            img = out
+        else:
+            img = imgtools.get_image(
+                (np.asarray(input_data[0]), out),
+                self.unnormalize["mean_std"], self.unnormalize["transforms"],
+                stretch_by=self.stretch_by)
         target = self.paths[index]
         os.makedirs(os.path.dirname(target), exist_ok=True)
         Image.fromarray(img).save(target)

@@ -152,8 +152,21 @@ def _run_translation(network, output, remaining, data_params, dataset, meter):
         output.add(index, inp, out)
         meter.update(index, None)
 
+    # device-u8 egress only where the saver's conversion is the plain
+    # denormalize branch (no colorspace / channel transforms, no stretch,
+    # 3-channel output) — anything else keeps f32 downloads + get_image
+    from ..tools.imgtools import _transforms_to_colorspace
+
+    sink = _unwrapped(output)
+    device_u8 = (mean_std is not None and len(mean_std[0]) == 3
+                 and not _transforms_to_colorspace(data_params["transforms"])
+                 and "chan" not in data_params["transforms"]
+                 and "add_meanstd" not in data_params["transforms"]
+                 and not getattr(sink, "stretch_by", False)
+                 and network.meta.get("out_channels") == 3
+                 and os.environ.get("MDIR_TPU_INFER_DEVICE_U8", "1") != "0")
     translator = StreamingTranslator(
-        network, deliver, mean_std=mean_std,
+        network, deliver, mean_std=mean_std, device_u8=device_u8,
         max_batch=int(os.environ.get("MDIR_TPU_INFER_BATCH", "4")))
     loader = _stream_images_uint8(paths, image_size) if mean_std is not None \
         else _stream_images(paths, image_size, transform)

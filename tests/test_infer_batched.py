@@ -205,3 +205,70 @@ def test_bench_infer_smoke(monkeypatch):
     assert out["infer_resident_imgs_per_sec"] > 0
     assert 0.0 <= out["infer_ingress_saturation"] <= 1.0
     assert "infer_at_40mbps_imgs_per_sec" in out
+
+
+def test_device_u8_egress_guard_and_bytes(tmp_path, rng):
+    """StreamingTranslator(device_u8): the first-batch guard verifies the
+    device denormalize->u8 equals the host conversion bit-for-bit (the
+    optimization_barrier'd op chain), the fast path stays on, and sinks
+    receive uint8 outputs identical to converting the f32 path on host."""
+    from mdir_tpu.parallel.translate import (StreamingTranslator,
+                                             host_u8_image)
+
+    ckpt = _unet_checkpoint(tmp_path)
+    from mdir_tpu.learning import load_network
+
+    network = load_network({"path": str(ckpt),
+                            "runtime": {"wrappers": "reflectpad_divisible:32"}})
+    network.eval()
+    mean_std = ([0.5] * 3, [0.5] * 3)
+
+    shapes = [(40, 56), (40, 56), (33, 47), (56, 40), (40, 56)]
+    arrays = [(rng.rand(h, w, 3) * 255).astype(np.uint8) for h, w in shapes]
+
+    got_u8 = {}
+    tr = StreamingTranslator(network, lambda i, inp, out:
+                             got_u8.__setitem__(i, np.asarray(out[0])),
+                             mean_std=mean_std, max_batch=2, device_u8=True)
+    for i, arr in enumerate(arrays):
+        tr.add(i, arr)
+    tr.finish()
+    assert tr._u8_ok is True
+    assert all(v.dtype == np.uint8 for v in got_u8.values())
+
+    got_f32 = {}
+    tr2 = StreamingTranslator(network, lambda i, inp, out:
+                              got_f32.__setitem__(i, np.asarray(out[0])),
+                              mean_std=mean_std, max_batch=2)
+    for i, arr in enumerate(arrays):
+        tr2.add(i, arr)
+    tr2.finish()
+    for i in got_u8:
+        ref = host_u8_image(got_f32[i], np.asarray(mean_std[0], np.float32),
+                            np.asarray(mean_std[1], np.float32))
+        np.testing.assert_array_equal(got_u8[i], ref)
+
+
+def test_device_u8_guard_falls_back_on_mismatch(tmp_path, rng, monkeypatch):
+    """A conversion mismatch (simulated) must flip the run to f32 downloads
+    — sinks then receive float outputs, never silently-wrong u8."""
+    from mdir_tpu.parallel import translate as tr_mod
+
+    ckpt = _unet_checkpoint(tmp_path)
+    from mdir_tpu.learning import load_network
+
+    network = load_network({"path": str(ckpt),
+                            "runtime": {"wrappers": "reflectpad_divisible:32"}})
+    network.eval()
+    monkeypatch.setattr(tr_mod, "host_u8_image",
+                        lambda out, m, s: np.zeros_like(
+                            out, np.uint8))  # never matches
+    got = {}
+    tr = tr_mod.StreamingTranslator(
+        network, lambda i, inp, out: got.__setitem__(i, np.asarray(out[0])),
+        mean_std=([0.5] * 3, [0.5] * 3), max_batch=2, device_u8=True)
+    for i in range(4):
+        tr.add(i, (rng.rand(40, 56, 3) * 255).astype(np.uint8))
+    tr.finish()
+    assert tr._u8_ok is False
+    assert all(v.dtype == np.float32 for v in got.values())
