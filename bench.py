@@ -1305,6 +1305,7 @@ _SUMMARY_KEYS = (
     "clahe_chain_window_mbps", "clahe_chain_at_40mbps_imgs_per_sec",
     "infer_imgs_per_sec", "infer_resident_imgs_per_sec",
     "infer_window_mbps", "infer_at_40mbps_imgs_per_sec",
+    "infer_device_u8_ok",
     "train_tuples_per_sec", "train_resident_tuples_per_sec",
     "train_cached_tuples_per_sec", "train_mfu_vs_bf16_peak",
     "mining_imgs_per_sec", "mining_resident_imgs_per_sec",
